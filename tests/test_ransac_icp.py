@@ -1,0 +1,153 @@
+import numpy as np
+import jax.numpy as jnp
+
+from tpu3d import oracle
+from tpu3d.ops.fpfh import compute_fpfh
+from tpu3d.ops.icp import icp_refine
+from tpu3d.ops.normals import estimate_normals
+from tpu3d.ops.ransac import feature_correspondences, ransac_registration
+from tpu3d.types import PointCloud
+
+
+def _bumpy_cloud(rng, n=150):
+    xy = rng.uniform(-0.15, 0.15, size=(n, 2)).astype(np.float32)
+    z = 0.7 + 0.1 * np.sin(9 * xy[:, 0]) * np.cos(7 * xy[:, 1])
+    return np.column_stack([xy, z]).astype(np.float32)
+
+
+def _rigid(rng, angle_scale=0.3, t_scale=0.05):
+    aa = rng.normal(size=3) * angle_scale
+    th = np.linalg.norm(aa)
+    k = aa / th if th > 0 else np.array([1.0, 0, 0])
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    R = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+    t = rng.normal(size=3) * t_scale
+    return R.astype(np.float32), t.astype(np.float32)
+
+
+def test_feature_correspondences_match_oracle(rng):
+    sf = rng.uniform(size=(40, 33)).astype(np.float32)
+    tf = rng.uniform(size=(60, 33)).astype(np.float32)
+    from tpu3d.types import FPFHFeatures
+
+    src = FPFHFeatures(jnp.asarray(sf), jnp.ones(40, bool))
+    tgt = FPFHFeatures(jnp.asarray(tf), jnp.ones(60, bool))
+    got = np.asarray(feature_correspondences(src, tgt))
+    exp = oracle.feature_correspondences(sf, tf)
+    agree = (got == exp).mean()
+    assert agree > 0.95  # float near-ties only
+
+
+def test_ransac_recovers_pose(rng):
+    tgt_pts = _bumpy_cloud(rng, 150)
+    R, t = _rigid(rng)
+    # source = target transformed by inv(T): RANSAC solves src → tgt with
+    # transform T, i.e. tgt = R @ src + t.
+    src_pts = ((tgt_pts - t) @ R).astype(np.float32)
+
+    tgt_normals = oracle.estimate_normals(tgt_pts, k=20)
+    tgt = PointCloud.from_numpy(tgt_pts, normals=tgt_normals, capacity=256)
+    src = PointCloud.from_numpy(src_pts, capacity=256)
+    src = estimate_normals(src, k=20)
+
+    voxel = 0.01
+    sf = compute_fpfh(src, jnp.float32(voxel * 5))
+    tf = compute_fpfh(tgt, jnp.float32(voxel * 5))
+
+    res = ransac_registration(
+        src, tgt, sf, tf, voxel, max_iterations=4096, seed=42, chunk=256
+    )
+    T = np.asarray(res.transformation)
+    assert float(res.fitness) > 0.8, float(res.fitness)
+    np.testing.assert_allclose(T[:3, :3], R, atol=0.05)
+    np.testing.assert_allclose(T[:3, 3], t, atol=0.02)
+
+
+def test_ransac_inlier_scoring_matches_oracle(rng):
+    # Whatever transform RANSAC returns, its fitness/rmse must equal the
+    # oracle's scoring of that same transform (the fidelity gate is on
+    # inlier sets, BASELINE.md).
+    tgt_pts = _bumpy_cloud(rng, 100)
+    R, t = _rigid(rng)
+    src_pts = ((tgt_pts - t) @ R).astype(np.float32)
+    tgt_normals = oracle.estimate_normals(tgt_pts, k=15)
+    tgt = PointCloud.from_numpy(tgt_pts, normals=tgt_normals, capacity=128)
+    src = estimate_normals(PointCloud.from_numpy(src_pts, capacity=128), k=15)
+    voxel = 0.01
+    sf = compute_fpfh(src, jnp.float32(voxel * 5))
+    tf = compute_fpfh(tgt, jnp.float32(voxel * 5))
+    res = ransac_registration(
+        src, tgt, sf, tf, voxel, max_iterations=2048, seed=7, chunk=256
+    )
+    T = np.asarray(res.transformation)
+    corr = oracle.feature_correspondences(
+        np.asarray(sf.descriptors)[:100], np.asarray(tf.descriptors)[:100]
+    )
+    _, fitness, rmse = oracle.score_hypothesis(
+        T[:3, :3], T[:3, 3], src_pts, tgt_pts[corr], voxel * 1.5
+    )
+    # Capacity is 128 but only 100 source rows are valid; oracle fitness
+    # uses 100 as denominator, ransac uses the valid count — same thing.
+    assert abs(float(res.fitness) - fitness) < 0.03
+    if fitness > 0:
+        assert abs(float(res.rmse) - rmse) < 1e-3
+
+
+def test_icp_matches_oracle_point_to_plane(rng):
+    tgt_pts = _bumpy_cloud(rng, 120)
+    tgt_normals = oracle.estimate_normals(tgt_pts, k=15)
+    R, t = _rigid(rng, angle_scale=0.05, t_scale=0.01)
+    src_pts = ((tgt_pts - t) @ R).astype(np.float32)
+
+    T0 = np.eye(4, dtype=np.float32)
+    thr = 0.05
+    exp_T, exp_fit, exp_rmse = oracle.icp_refine(
+        src_pts, tgt_pts, tgt_normals, T0, thr, max_iterations=30,
+        point_to_plane=True,
+    )
+
+    src = PointCloud.from_numpy(src_pts, capacity=128)
+    tgt = PointCloud.from_numpy(tgt_pts, normals=tgt_normals, capacity=128)
+    res = icp_refine(src, tgt, jnp.asarray(T0), thr, max_iterations=30,
+                     point_to_plane=True)
+    got_T = np.asarray(res.transformation)
+
+    np.testing.assert_allclose(got_T, exp_T, atol=5e-3)
+    assert abs(float(res.fitness) - exp_fit) < 0.02
+    assert abs(float(res.rmse) - exp_rmse) < 1e-4
+    # And it actually recovered the pose:
+    np.testing.assert_allclose(got_T[:3, :3], R, atol=1e-2)
+    np.testing.assert_allclose(got_T[:3, 3], t, atol=5e-3)
+
+
+def test_icp_matches_oracle_point_to_point(rng):
+    tgt_pts = _bumpy_cloud(rng, 100)
+    R, t = _rigid(rng, angle_scale=0.05, t_scale=0.01)
+    src_pts = ((tgt_pts - t) @ R).astype(np.float32)
+    T0 = np.eye(4, dtype=np.float32)
+    thr = 0.05
+    exp_T, exp_fit, exp_rmse = oracle.icp_refine(
+        src_pts, tgt_pts, None, T0, thr, max_iterations=30,
+        point_to_plane=False,
+    )
+    src = PointCloud.from_numpy(src_pts, capacity=128)
+    tgt = PointCloud.from_numpy(tgt_pts, capacity=128)
+    res = icp_refine(src, tgt, jnp.asarray(T0), thr, max_iterations=30,
+                     point_to_plane=False)
+    np.testing.assert_allclose(np.asarray(res.transformation), exp_T,
+                               atol=5e-3)
+    assert abs(float(res.rmse) - exp_rmse) < 1e-4
+
+
+def test_icp_breaks_on_no_correspondences(rng):
+    src_pts = rng.normal(size=(20, 3)).astype(np.float32)
+    tgt_pts = src_pts + np.float32(100.0)  # far beyond any threshold
+    src = PointCloud.from_numpy(src_pts, capacity=32)
+    tgt = PointCloud.from_numpy(tgt_pts, capacity=32)
+    T0 = jnp.eye(4)
+    res = icp_refine(src, tgt, T0, 0.01, max_iterations=10,
+                     point_to_plane=False)
+    # n_corr < 3 on iter 0 → nothing updated (registration.cpp:361).
+    np.testing.assert_allclose(np.asarray(res.transformation), np.eye(4))
+    assert float(res.fitness) == 0.0
+    assert float(res.rmse) == 0.0

@@ -1,0 +1,103 @@
+import numpy as np
+import jax.numpy as jnp
+
+from tpu3d import oracle
+from tpu3d.ops import transforms
+
+
+def _random_rotation(rng):
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def test_make_invert_roundtrip(rng):
+    R = _random_rotation(rng).astype(np.float32)
+    t = rng.normal(size=3).astype(np.float32)
+    T = transforms.make_transform(jnp.asarray(R), jnp.asarray(t))
+    Tinv = transforms.invert_transform(T)
+    np.testing.assert_allclose(np.asarray(T @ Tinv), np.eye(4), atol=1e-5)
+
+
+def test_transform_points(rng):
+    R = _random_rotation(rng).astype(np.float32)
+    t = rng.normal(size=3).astype(np.float32)
+    pts = rng.normal(size=(50, 3)).astype(np.float32)
+    T = transforms.make_transform(jnp.asarray(R), jnp.asarray(t))
+    got = np.asarray(transforms.transform_points(T, jnp.asarray(pts)))
+    np.testing.assert_allclose(got, pts @ R.T + t, atol=1e-5)
+
+
+def test_euler_xyz_matches_oracle_composition(rng):
+    angles = rng.normal(size=3).astype(np.float32)
+
+    def rx(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+    def ry(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+    def rz(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+    expected = rx(angles[0]) @ ry(angles[1]) @ rz(angles[2])
+    got = np.asarray(transforms.euler_xyz_to_matrix(jnp.asarray(angles)))
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_kabsch_recovers_rigid_transform(rng):
+    R = _random_rotation(rng)
+    t = rng.normal(size=3)
+    src = rng.normal(size=(40, 3))
+    tgt = src @ R.T + t
+    R_got, t_got = transforms.kabsch(jnp.asarray(src, jnp.float32),
+                                     jnp.asarray(tgt, jnp.float32))
+    np.testing.assert_allclose(np.asarray(R_got), R, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t_got), t, atol=1e-4)
+
+
+def test_kabsch_matches_oracle_3pt(rng):
+    src = rng.normal(size=(3, 3)).astype(np.float32)
+    R_true = _random_rotation(rng)
+    tgt = (src @ R_true.T + rng.normal(size=3)).astype(np.float32)
+    R_o, t_o = oracle.kabsch(src, tgt)
+    R_j, t_j = transforms.kabsch(jnp.asarray(src), jnp.asarray(tgt))
+    np.testing.assert_allclose(np.asarray(R_j), R_o, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t_j), t_o, atol=1e-4)
+
+
+def test_kabsch_reflection_fix(rng):
+    # Degenerate correspondences that would yield a reflection without the
+    # det fix (registration.cpp:258-262).
+    src = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1.0]], np.float32)
+    tgt = np.array([[1, 0, 0], [0, 1, 0], [0, 0, -1.0]], np.float32)
+    R, _ = transforms.kabsch(jnp.asarray(src), jnp.asarray(tgt))
+    assert np.linalg.det(np.asarray(R)) > 0.99
+
+
+def test_rpy_zyx_matches_robot_convention(rng):
+    R = _random_rotation(rng).astype(np.float32)
+    rpy = np.asarray(transforms.matrix_to_rpy_zyx(jnp.asarray(R)))
+    # oracle per robot.cpp:42-52
+    pitch = np.arcsin(-R[2, 0])
+    roll = np.arctan2(R[2, 1], R[2, 2])
+    yaw = np.arctan2(R[1, 0], R[0, 0])
+    np.testing.assert_allclose(rpy, [roll, pitch, yaw], atol=1e-5)
+
+
+def test_rpy_zyx_gimbal_lock():
+    # pitch = +90°: R[2,0] = -1 exactly.
+    R = np.array([[0, 0, 1], [0, 1, 0], [-1, 0, 0]], np.float32)
+    rpy = np.asarray(transforms.matrix_to_rpy_zyx(jnp.asarray(R)))
+    assert abs(rpy[1] - np.pi / 2) < 1e-5
+    assert rpy[2] == 0.0

@@ -1,0 +1,151 @@
+"""Pallas TPU kernel: tiled brute-force top-1 nearest neighbor.
+
+This is the hot op of the whole framework — ICP runs it once per iteration
+(reference: cuda/icp.cu:30-54 ``findCorrespondencesKernel``, one CUDA thread
+per source point scanning all targets). The TPU formulation tiles the
+(queries × targets) plane into MXU-sized blocks:
+
+  grid = (n_query_tiles, n_target_tiles)           # target tiles innermost
+  per block: cross = targetsᵀ·queries on the MXU   # (BM, 3)x(3, BN)
+             d² = ||t||² - 2·cross  (||q||² added back outside — it is
+             constant per query column so it cannot change the argmin)
+             running (min, argmin) carried in VMEM scratch across the
+             innermost grid axis; written out on the last target tile.
+
+Determinism: ties resolve to the lowest target index (strict ``<`` update +
+first-hit argmin within a tile), matching the reference CPU scan
+(registration.cpp:329-335). The CUDA kernel's atomic compaction
+non-determinism (pointcloud.cu:38) has no analog here.
+
+Padding: callers pad targets to the tile multiple with a far-away sentinel
+coordinate so padded rows can never win the argmin (no dynamic shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SENTINEL = 1.0e6  # coordinate magnitude pushed onto invalid/padded targets
+_BIG = 1.0e30
+
+
+def _nn_kernel(s_ref, t_ref, d_ref, i_ref, bd_ref, bi_ref, *, block_m: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        bd_ref[:] = jnp.full_like(bd_ref, _BIG)
+        bi_ref[:] = jnp.zeros_like(bi_ref)
+
+    t = t_ref[:]  # (BM, 3)
+    s = s_ref[:]  # (3, BN)
+    # HIGHEST: true-f32 MXU passes — geometric distances can't take bf16.
+    cross = jnp.dot(
+        t, s, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (BM, BN) on MXU
+    tnorm = jnp.sum(t * t, axis=1, keepdims=True)  # (BM, 1)
+    d2 = tnorm - 2.0 * cross
+
+    local_min = jnp.min(d2, axis=0)
+    local_arg = jnp.argmin(d2, axis=0).astype(jnp.int32) + j * block_m
+
+    better = local_min < bd_ref[0, :]
+    bd_ref[0, :] = jnp.where(better, local_min, bd_ref[0, :])
+    bi_ref[0, :] = jnp.where(better, local_arg, bi_ref[0, :])
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _finish():
+        d_ref[0, :] = bd_ref[0, :]
+        i_ref[0, :] = bi_ref[0, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "block_m", "interpret")
+)
+def nearest_neighbor_pallas(
+    queries: jnp.ndarray,
+    targets: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    block_n: int = 512,
+    block_m: int = 1024,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-1 nearest valid target per query.
+
+    Args:
+      queries: f32[Q, 3].
+      targets: f32[M, 3].
+      target_mask: bool[M] — invalid rows can never be selected.
+    Returns:
+      (idx i32[Q], d2 f32[Q]) — index of the nearest target and its squared
+      distance (exact, includes the ||q||² term).
+    """
+    q = queries.shape[0]
+    m = targets.shape[0]
+    qpad = (-q) % block_n
+    mpad = (-m) % block_m
+
+    tgt = jnp.where(target_mask[:, None], targets, _SENTINEL).astype(jnp.float32)
+    if mpad:
+        tgt = jnp.pad(tgt, ((0, mpad), (0, 0)), constant_values=_SENTINEL)
+    qt = queries.astype(jnp.float32)
+    if qpad:
+        qt = jnp.pad(qt, ((0, qpad), (0, 0)))
+    s_t = qt.T  # (3, Qp) — lanes along queries
+
+    qp, mp = q + qpad, m + mpad
+    grid = (qp // block_n, mp // block_m)
+
+    dist, idx = pl.pallas_call(
+        functools.partial(_nn_kernel, block_m=block_m),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, block_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_m, 3), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, qp), jnp.float32),
+            jax.ShapeDtypeStruct((1, qp), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, block_n), jnp.float32),
+            pltpu.VMEM((1, block_n), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * mp * 3 + 4 * qp * mp,
+            bytes_accessed=(qp * 3 + mp * 3 + 2 * qp) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(s_t, tgt)
+
+    d2 = dist[0, :q] + jnp.sum(qt[:q] * qt[:q], axis=1)
+    return idx[0, :q], jnp.maximum(d2, 0.0)
+
+
+def nearest_neighbor(
+    queries: jnp.ndarray,
+    targets: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    **kwargs,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Backend-dispatching top-1 NN: Pallas on TPU, interpreted elsewhere
+    falls back to the XLA formulation in :mod:`tpu3d.ops.neighbors` (faster
+    than the Pallas interpreter on CPU, same semantics)."""
+    if jax.default_backend() == "tpu":
+        return nearest_neighbor_pallas(queries, targets, target_mask, **kwargs)
+    from tpu3d.ops.neighbors import nearest_neighbor_xla
+
+    return nearest_neighbor_xla(queries, targets, target_mask)

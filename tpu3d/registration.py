@@ -1,0 +1,95 @@
+"""High-level registration API: the reference's public surface, TPU-native.
+
+``register_pair(source, target, config) -> (refined, coarse)`` is the
+C-style entry the reference exposes through ``Registration``'s static
+methods composed in ``Pipeline::processInstance`` (pipeline.cpp:92-129):
+voxel downsample → normals → FPFH → RANSAC → ICP.
+
+Static-shape strategy: stage boundaries re-bucket cloud capacity (powers of
+two) so the O(N·M) registration ops compile once per bucket instead of once
+per frame, and padding never exceeds 2x the live data.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from tpu3d.config import RegistrationConfig
+from tpu3d.ops.fpfh import compute_fpfh
+from tpu3d.ops.icp import icp_refine
+from tpu3d.ops.normals import estimate_normals
+from tpu3d.ops.ransac import ransac_registration
+from tpu3d.ops.voxel import compact, voxel_downsample
+from tpu3d.types import FPFHFeatures, PointCloud, RegistrationResult
+
+
+def bucket_capacity(count: int, minimum: int = 256) -> int:
+    """Next power-of-two bucket ≥ count (≥ minimum)."""
+    cap = minimum
+    while cap < count:
+        cap *= 2
+    return cap
+
+
+def prepare_cloud(
+    cloud: PointCloud,
+    config: RegistrationConfig,
+    capacity: Optional[int] = None,
+) -> tuple[PointCloud, FPFHFeatures]:
+    """Downsample + normals + FPFH — the per-cloud preprocessing the
+    reference runs for both the scene instance (pipeline.cpp:92-95) and the
+    reference model (pipeline.cpp:291-294): k=30 normals, FPFH radius =
+    5 × voxel_size."""
+    down = voxel_downsample(cloud, config.voxel_size)
+    if capacity is None:
+        count = int(down.count())  # host sync at the stage boundary
+        capacity = bucket_capacity(max(count, 1))
+    down = compact(down, capacity)
+    down = estimate_normals(down, k=30)
+    features = compute_fpfh(down, jnp.float32(config.voxel_size * 5.0))
+    return down, features
+
+
+def register_prepared(
+    source: PointCloud,
+    target: PointCloud,
+    source_features: FPFHFeatures,
+    target_features: FPFHFeatures,
+    config: RegistrationConfig,
+) -> tuple[RegistrationResult, RegistrationResult]:
+    """RANSAC + ICP on preprocessed clouds. Returns (refined, coarse)."""
+    coarse = ransac_registration(
+        source,
+        target,
+        source_features,
+        target_features,
+        config.voxel_size,
+        max_iterations=config.ransac_max_iterations,
+        confidence=config.ransac_confidence,
+        seed=config.ransac_seed,
+    )
+    refined = icp_refine(
+        source,
+        target,
+        coarse.transformation,
+        config.voxel_size * config.icp_distance_factor,
+        max_iterations=config.icp_max_iterations,
+        point_to_plane=config.use_point_to_plane,
+    )
+    return refined, coarse
+
+
+def register_pair(
+    source: PointCloud,
+    target: PointCloud,
+    config: Optional[RegistrationConfig] = None,
+) -> tuple[RegistrationResult, RegistrationResult]:
+    """Full pipeline on two raw clouds: the public "register a cloud pair →
+    4x4 pose + fitness + rmse" API (BASELINE.json north_star)."""
+    if config is None:
+        config = RegistrationConfig()
+    src_down, src_feat = prepare_cloud(source, config)
+    tgt_down, tgt_feat = prepare_cloud(target, config)
+    return register_prepared(src_down, tgt_down, src_feat, tgt_feat, config)
