@@ -1,0 +1,136 @@
+"""Hermetic end-to-end tests — mirroring the reference's test strategy
+(SURVEY.md §4: procedural scene + dummy mask + planar reference, hardware
+faked by config flags), plus a ground-truth fixture with a bumpy surface and
+a PLY reference model so full-stack registration accuracy is asserted."""
+
+import numpy as np
+import pytest
+
+from tpu3d.config import PipelineConfig
+from tpu3d.models.ply import save_ply
+from tpu3d.pipeline.dedup import filter_duplicates
+from tpu3d.pipeline.pipeline import Pipeline
+
+
+def _demo_config() -> PipelineConfig:
+    cfg = PipelineConfig()
+    cfg.use_camera = False
+    cfg.use_robot = False
+    cfg.visualization = "none"
+    cfg.camera.width = 320
+    cfg.camera.height = 240
+    cfg.registration.voxel_size = 0.005
+    cfg.registration.ransac_max_iterations = 2000
+    cfg.registration.icp_max_iterations = 30
+    cfg.camera_extrinsics = np.eye(4, dtype=np.float32)
+    return cfg
+
+
+def test_demo_pipeline_end_to_end_parity():
+    """The reference's demo: plane patch vs planar grid. Degenerate FPFH on a
+    uniform plane means coarse alignment cannot lock in-plane pose — the
+    reference behaves identically (low fitness warning, pose still used,
+    pipeline.cpp:131-134). Assert the orchestration contract, not pose."""
+    cfg = _demo_config()
+    pipe = Pipeline(cfg, sleep_fn=lambda s: None)
+    waypoints = pipe.run()
+    assert len(waypoints) == 1
+    assert waypoints[0].shape == (4, 4)
+    assert len(pipe.instance_results) == 1
+    res = pipe.instance_results[0]
+    assert 0.0 <= res["fitness"] <= 1.0
+    assert np.isfinite(res["rmse"])
+
+
+def _bumpy_frame(w=240, h=180, z0=0.6):
+    """Depth frame of a bumpy surface (rich FPFH structure everywhere)."""
+    u = np.arange(w)[None, :]
+    v = np.arange(h)[:, None]
+    z = z0 + 0.03 * np.sin(u * 0.11) * np.cos(v * 0.13) + 0.01 * np.sin(
+        u * 0.031 + v * 0.027
+    )
+    K = np.array([[300.0, 0, w / 2], [0, 300.0, h / 2], [0, 0, 1]], np.float32)
+    return z.astype(np.float32), K
+
+
+def test_pipeline_with_ply_reference_ground_truth(tmp_path):
+    """Reference model = the scene cloud itself (written to PLY): the true
+    refined transform is identity, so the waypoint must be ≈ extrinsics."""
+    z, K = _bumpy_frame()
+    scale = 10000.0  # 0.1 mm depth units to keep u16 quantization negligible
+    depth_u16 = (z * scale).astype(np.uint16)
+
+    # Ground-truth cloud in camera frame from the QUANTIZED depth.
+    from tpu3d import oracle
+
+    pts, _ = oracle.deproject(
+        depth_u16.astype(np.float32) / scale,
+        None,
+        K[0, 0],
+        K[1, 1],
+        K[0, 2],
+        K[1, 2],
+        clipping_max=1.5,
+    )
+    ply_path = str(tmp_path / "ref.ply")
+    save_ply(ply_path, pts)
+
+    cfg = _demo_config()
+    cfg.camera.width, cfg.camera.height = 240, 180
+    cfg.depth.scale_to_meters = scale
+    cfg.reference_model_path = ply_path
+    cfg.registration.voxel_size = 0.008
+    cfg.registration.ransac_max_iterations = 4000
+    cfg.registration.icp_max_iterations = 40
+    cfg.dummy_rgb_path = cfg.dummy_depth_path = ""
+    cfg.segmentation.apply_mask = False
+
+    pipe = Pipeline(cfg, sleep_fn=lambda s: None)
+    # Inject the synthetic frame through the dummy-data path.
+    import cv2
+
+    rgb_path = str(tmp_path / "rgb.png")
+    depth_path = str(tmp_path / "depth.png")
+    cv2.imwrite(rgb_path, np.zeros((180, 240, 3), np.uint8) + 90)
+    cv2.imwrite(depth_path, depth_u16)
+    cfg.dummy_rgb_path, cfg.dummy_depth_path = rgb_path, depth_path
+    # Dummy-data path hardcodes K (900,640,360) like pipeline.cpp:206-208 —
+    # override with our synthetic intrinsics for the ground-truth check.
+    pipe._forced_K = K
+
+    waypoints = pipe.run()
+    assert len(waypoints) == 1
+    res = pipe.instance_results[0]
+    assert res["fitness"] > 0.8, res
+    T = waypoints[0]
+    np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=0.02)
+    np.testing.assert_allclose(T[:3, 3], 0.0, atol=0.01)
+
+
+def test_demo_pipeline_with_robot_and_viewer(tmp_path):
+    cfg = _demo_config()
+    cfg.use_robot = True
+    cfg.visualization = "opengl"
+    cfg.registration.ransac_max_iterations = 500
+    cfg.registration.icp_max_iterations = 10
+    pipe = Pipeline(cfg, sleep_fn=lambda s: None)
+    waypoints = pipe.run()
+    assert len(waypoints) == 1
+    assert pipe.viewer is not None
+
+
+def test_filter_duplicates_semantics():
+    def T(x, y, z):
+        M = np.eye(4, dtype=np.float32)
+        M[:3, 3] = (x, y, z)
+        return M
+
+    # Second is within 0.1 of the first and closer to origin → replaces it.
+    # Third is its own cluster.
+    out = filter_duplicates([T(1.0, 0, 0), T(0.95, 0, 0), T(2.0, 0, 0)], 0.1)
+    assert len(out) == 2
+    np.testing.assert_allclose(out[0][:3, 3], (0.95, 0, 0))
+    np.testing.assert_allclose(out[1][:3, 3], (2.0, 0, 0))
+
+    out = filter_duplicates([T(1.0, 0, 0), T(1.05, 0, 0), T(1.11, 0, 0)], 0.1)
+    assert len(out) == 2

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 _BF_MAX_RADIUS = 5  # cuda/depth_processing.cu:59 BF_MAX_RADIUS
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("apply_mask",))
 def depth_preprocess(
     depth_raw: jnp.ndarray,
     mask: jnp.ndarray | None,

@@ -1,0 +1,325 @@
+"""Pipeline orchestrator: capture → segment → register → pick.
+
+Stage structure and degrade-don't-crash behavior mirror Pipeline::run
+(src/pipeline.cpp:183-380) and Pipeline::processInstance (:25-150); the
+compute inside each stage is the TPU-native op stack. Differences by design:
+
+  - per-instance work is enqueued to a host thread pool (parity with the
+    reference's ThreadPool fan-out, pipeline.cpp:321-339) whose real job
+    here is overlapping host prep with device compute — the heavy math is
+    serialized on the accelerator by JAX's dispatch anyway, and
+    ``tpu3d.parallel`` offers a vmap-batched fan-out when instance clouds
+    share a capacity bucket;
+  - the deprojection honors ``depth.clipping_max`` on every path (the
+    reference's GPU path hardcodes 10.0 m, gpu_impl.cpp:97 — divergence
+    fixed);
+  - ``depth.bilateral_filter`` actually filters (dead code in the
+    reference, SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3d.config import PipelineConfig
+from tpu3d.io.robot import Robot
+from tpu3d.io.segmentation import get_masks, resize_mask_nearest
+from tpu3d.models.ply import load_ply
+from tpu3d.models.procedural import (
+    generate_box_mask,
+    generate_reference_grid,
+    generate_scene,
+)
+from tpu3d.ops.deproject import deproject
+from tpu3d.ops.depth import bilateral_filter, depth_preprocess
+from tpu3d.ops.icp import icp_refine
+from tpu3d.ops.ransac import ransac_registration
+from tpu3d.ops.transforms import invert_transform
+from tpu3d.pipeline.dedup import filter_duplicates
+from tpu3d.registration import prepare_cloud
+from tpu3d.types import PointCloud
+from tpu3d.viz.viewer import SceneViewer
+
+
+class Pipeline:
+    def __init__(self, config: PipelineConfig, sleep_fn=time.sleep):
+        self.config = config
+        self.viewer: Optional[SceneViewer] = None
+        self._sleep_fn = sleep_fn
+        self.waypoints: List[np.ndarray] = []  # result of the last run()
+        self.instance_results: List[dict] = []  # per-instance fitness/rmse/T
+        self._forced_K: Optional[np.ndarray] = None  # test hook: override K
+        print(
+            f"Pipeline created (threads={config.num_threads},"
+            f" accelerator={'on' if config.use_gpu else 'off'})"
+        )
+
+    # ---------------------------------------------------------------- stage 4
+    def process_instance(
+        self,
+        mask: np.ndarray,
+        depth_raw: np.ndarray,
+        rgb: Optional[np.ndarray],
+        K: np.ndarray,
+        ref_cloud: PointCloud,
+        ref_features,
+        instance_id: int,
+    ) -> Optional[np.ndarray]:
+        t0 = time.perf_counter()
+        print(f"\n--- Processing instance {instance_id} ---")
+        cfg = self.config
+        try:
+            if mask is not None and mask.shape != depth_raw.shape:
+                mask = resize_mask_nearest(mask, *depth_raw.shape)
+
+            depth_m = depth_preprocess(
+                jnp.asarray(depth_raw),
+                None if mask is None else jnp.asarray(mask),
+                cfg.depth.scale_to_meters,
+                apply_mask=cfg.segmentation.apply_mask,
+            )
+            if cfg.depth.bilateral_filter:
+                depth_m = bilateral_filter(
+                    depth_m,
+                    cfg.depth.bilateral_sigma_spatial,
+                    cfg.depth.bilateral_sigma_range,
+                )
+            if int(jnp.sum(depth_m > 0)) == 0:
+                print(f"Instance {instance_id}: empty depth after masking")
+                return None
+
+            cloud = deproject(
+                depth_m,
+                None if rgb is None else jnp.asarray(rgb),
+                jnp.asarray(K, jnp.float32),
+                cfg.depth.clipping_max,
+            )
+            n_pts = int(cloud.count())
+            if n_pts == 0:
+                print(f"Instance {instance_id}: empty point cloud")
+                return None
+            print(f"Instance {instance_id}: {n_pts} points")
+
+            source, source_features = prepare_cloud(
+                cloud,
+                cfg.registration,
+                capacity=cfg.registration.max_points or None,
+            )
+
+            coarse = ransac_registration(
+                source,
+                ref_cloud,
+                source_features,
+                ref_features,
+                cfg.registration.voxel_size,
+                max_iterations=cfg.registration.ransac_max_iterations,
+                confidence=cfg.registration.ransac_confidence,
+                seed=cfg.registration.ransac_seed,
+            )
+            print(
+                f"RANSAC result: fitness={float(coarse.fitness):.4f},"
+                f" RMSE={float(coarse.rmse):.6f}"
+            )
+
+            icp_threshold = (
+                cfg.registration.voxel_size * cfg.registration.icp_distance_factor
+            )
+            refined = icp_refine(
+                source,
+                ref_cloud,
+                coarse.transformation,
+                icp_threshold,
+                max_iterations=cfg.registration.icp_max_iterations,
+                point_to_plane=cfg.registration.use_point_to_plane,
+            )
+            fitness = float(refined.fitness)
+            print(
+                f"ICP result: fitness={fitness:.4f},"
+                f" RMSE={float(refined.rmse):.6f}"
+            )
+            if fitness < cfg.registration.min_fitness:
+                # Warn but still use the pose, like pipeline.cpp:131-134.
+                print(f"Instance {instance_id}: low fitness {fitness:.4f}")
+
+            T_camera_object = np.asarray(
+                invert_transform(refined.transformation)
+            )
+            T_world_object = cfg.camera_extrinsics @ T_camera_object
+            self.instance_results.append(
+                {
+                    "instance_id": instance_id,
+                    "fitness": fitness,
+                    "rmse": float(refined.rmse),
+                    "coarse_fitness": float(coarse.fitness),
+                    "T_world_object": T_world_object,
+                }
+            )
+
+            ms = (time.perf_counter() - t0) * 1000.0
+            print(
+                f"Instance {instance_id} done in {ms:.1f} ms"
+                f" (fitness={fitness:.4f})"
+            )
+            return T_world_object
+        except Exception as e:  # degrade like pipeline.cpp:146-149
+            print(f"Instance {instance_id} error: {e}")
+            return None
+
+    # ------------------------------------------------------------------- run
+    def run(self) -> List[np.ndarray]:
+        t_start = time.perf_counter()
+        print("\n=== Starting Pipeline ===")
+        cfg = self.config
+
+        rgb: Optional[np.ndarray] = None
+        depth: Optional[np.ndarray] = None
+        K = np.eye(3, dtype=np.float32)
+
+        if cfg.use_camera:
+            print("\n[1/5] Camera capture (RealSense)...")
+            from tpu3d.io.camera import RealSenseCamera
+
+            camera = RealSenseCamera(cfg.camera.width, cfg.camera.height)
+            frame = camera.capture() if camera.connect() else None
+            if frame is None:
+                print("Camera capture failed.")
+                return []
+            rgb, depth = frame
+            K = camera.get_intrinsics()
+            camera.disconnect()
+        else:
+            print("\n[1/5] Using dummy data...")
+            if cfg.dummy_rgb_path and cfg.dummy_depth_path:
+                try:
+                    import cv2
+
+                    rgb = cv2.imread(cfg.dummy_rgb_path, cv2.IMREAD_COLOR)
+                    depth = cv2.imread(cfg.dummy_depth_path, cv2.IMREAD_UNCHANGED)
+                    K = np.array(
+                        [[900, 0, 640], [0, 900, 360], [0, 0, 1]], np.float32
+                    )
+                except Exception:
+                    rgb = depth = None
+            if rgb is None or depth is None:
+                print("Generating procedural test scene...")
+                rgb, depth, K = generate_scene(
+                    cfg.camera.width, cfg.camera.height, cfg.depth.scale_to_meters
+                )
+            if self._forced_K is not None:
+                K = np.asarray(self._forced_K, np.float32)
+
+        print("\n[2/5] Segmentation...")
+        if not cfg.use_camera and not cfg.segmentation.masks_input_dir:
+            print("Generating dummy mask for box...")
+            masks = [generate_box_mask(depth.shape[1], depth.shape[0])]
+        else:
+            masks = get_masks(
+                rgb,
+                cfg.segmentation.sam_server_url,
+                cfg.segmentation.sam_query,
+                cfg.segmentation.masks_input_dir,
+            )
+        if not masks:
+            print("No segmentation masks found.")
+            return []
+        print(f"Found {len(masks)} masks")
+
+        print("\n[3/5] Loading reference model...")
+        if not cfg.reference_model_path and not cfg.use_camera:
+            print("Generating dummy reference model...")
+            ref_pts, _ = generate_reference_grid()
+            ref_raw = PointCloud.from_numpy(ref_pts)
+        else:
+            pts, cols = load_ply(cfg.reference_model_path)
+            if len(pts) == 0:
+                print("Warning: Empty reference model. Registration may fail.")
+            ref_raw = PointCloud.from_numpy(pts, colors=cols)
+
+        ref_cloud, ref_features = prepare_cloud(
+            ref_raw,
+            cfg.registration,
+            capacity=cfg.registration.max_points or None,
+        )
+
+        if cfg.visualization != "none":
+            self.viewer = SceneViewer()
+            self.viewer.start()
+            scene = self._scene_cloud(depth, rgb, K)
+            if scene is not None:
+                self.viewer.set_point_cloud("scene", *scene)
+
+        print(f"\n[4/5] Processing {len(masks)} instances (parallel)...")
+        t_proc = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=max(cfg.num_threads, 1)) as pool:
+            futures = [
+                pool.submit(
+                    self.process_instance,
+                    masks[i],
+                    depth,
+                    rgb,
+                    K,
+                    ref_cloud,
+                    ref_features,
+                    i,
+                )
+                for i in range(len(masks))
+            ]
+            raw_waypoints = []
+            for i, fut in enumerate(futures):
+                result = fut.result()
+                if result is not None:
+                    raw_waypoints.append(result)
+                    if self.viewer is not None and self.viewer.is_running():
+                        self.viewer.set_pose(f"pose_{i}", result)
+        proc_ms = (time.perf_counter() - t_proc) * 1000.0
+        print(f"\nAll instances processed in {proc_ms:.1f} ms")
+
+        final_waypoints = filter_duplicates(raw_waypoints, 0.1)
+        self.waypoints = final_waypoints
+
+        if self.viewer is not None and final_waypoints:
+            self.viewer.set_path([wp[:3, 3] for wp in final_waypoints])
+
+        if cfg.use_robot:
+            print("\n[5/5] Robot execution...")
+            robot = Robot(cfg.robot.ip, sleep_fn=self._sleep_fn)
+            if robot.connect():
+                for i, wp in enumerate(final_waypoints):
+                    print(f"\nPicking object {i + 1}/{len(final_waypoints)}")
+                    robot.pick(wp, cfg.robot.approach_offset_z)
+                robot.disconnect()
+        else:
+            print("\n[5/5] Robot execution skipped (use_robot=false)")
+            print(f"Computed {len(final_waypoints)} pick poses.")
+
+        total_ms = (time.perf_counter() - t_start) * 1000.0
+        print(f"\n=== Pipeline complete: {total_ms:.1f} ms ===")
+
+        if self.viewer is not None:
+            self.viewer.export_html(self.viewer.html_path)
+            print(f"Viewer scene written to {self.viewer.html_path}")
+            self.viewer.stop()
+        return final_waypoints
+
+    def _scene_cloud(self, depth, rgb, K):
+        """Stride-2 subsampled full-scene cloud for the viewer
+        (pipeline.cpp:302-314)."""
+        cfg = self.config
+        d = depth[::2, ::2].astype(np.float32) / cfg.depth.scale_to_meters
+        K2 = K.copy()
+        K2[:2] /= 2.0  # stride-2 pixel grid
+        cloud = deproject(
+            jnp.asarray(d),
+            None if rgb is None else jnp.asarray(rgb[::2, ::2]),
+            jnp.asarray(K2, jnp.float32),
+            cfg.depth.clipping_max,
+        )
+        data = cloud.to_numpy()
+        if len(data["points"]) == 0:
+            return None
+        return data["points"], data.get("colors")
