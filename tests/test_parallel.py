@@ -1,0 +1,125 @@
+"""Multi-device logic on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu3d.ops.fpfh import compute_fpfh
+from tpu3d.ops.normals import estimate_normals
+from tpu3d.ops.neighbors import nearest_neighbor_xla
+from tpu3d.parallel import (
+    make_mesh,
+    nearest_neighbor_sharded,
+    register_batch,
+    shard_instances,
+    stack_clouds,
+)
+from tpu3d.types import PointCloud
+
+
+def _bumpy(rng, n):
+    xy = rng.uniform(-0.15, 0.15, size=(n, 2)).astype(np.float32)
+    z = 0.7 + 0.1 * np.sin(9 * xy[:, 0]) * np.cos(7 * xy[:, 1])
+    return np.column_stack([xy, z]).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh(("shard",))
+
+
+def test_sharded_nn_matches_single_device(rng, mesh):
+    q = rng.normal(size=(100, 3)).astype(np.float32)
+    t = rng.normal(size=(8 * 64, 3)).astype(np.float32)
+    mask = np.ones(8 * 64, bool)
+    mask[500:] = False
+
+    ix, dx = nearest_neighbor_xla(jnp.asarray(q), jnp.asarray(t),
+                                  jnp.asarray(mask))
+    isd, dsd = nearest_neighbor_sharded(
+        jnp.asarray(q), jnp.asarray(t), jnp.asarray(mask), mesh
+    )
+    np.testing.assert_allclose(np.asarray(dsd), np.asarray(dx), rtol=1e-4,
+                               atol=1e-6)
+    agree = (np.asarray(isd) == np.asarray(ix)).mean()
+    assert agree > 0.98  # float near-ties only
+
+
+def test_register_batch_recovers_poses(rng, mesh):
+    tgt_pts = _bumpy(rng, 150)
+    tgt = PointCloud.from_numpy(tgt_pts, capacity=256)
+    tgt = estimate_normals(tgt, k=15)
+    voxel = 0.01
+    tf = compute_fpfh(tgt, jnp.float32(voxel * 5))
+
+    true_T = []
+    srcs, feats = [], []
+    for _ in range(4):
+        aa = rng.normal(size=3) * 0.2
+        th = np.linalg.norm(aa)
+        k = aa / th
+        K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        R = (np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K).astype(
+            np.float32
+        )
+        t = (rng.normal(size=3) * 0.03).astype(np.float32)
+        true_T.append((R, t))
+        src = PointCloud.from_numpy(((tgt_pts - t) @ R), capacity=256)
+        src = estimate_normals(src, k=15)
+        srcs.append(src)
+        feats.append(compute_fpfh(src, jnp.float32(voxel * 5)))
+
+    batch = stack_clouds(srcs)
+    from tpu3d.types import FPFHFeatures
+
+    fbatch = FPFHFeatures(
+        descriptors=jnp.stack([f.descriptors for f in feats]),
+        mask=jnp.stack([f.mask for f in feats]),
+    )
+
+    inst_mesh = make_mesh(("inst",), shape=(8,))
+    # 4 instances on an 8-way axis isn't divisible — replicate instead for
+    # this small test; the dryrun exercises true sharding with B == n_dev.
+    refined, coarse = register_batch(
+        batch, tgt, fbatch, tf, voxel,
+        ransac_max_iterations=2048, icp_max_iterations=30,
+    )
+    T = np.asarray(refined.transformation)
+    for i, (R, t) in enumerate(true_T):
+        assert float(refined.fitness[i]) > 0.8, (i, refined.fitness)
+        np.testing.assert_allclose(T[i, :3, :3], R, atol=0.02)
+        np.testing.assert_allclose(T[i, :3, 3], t, atol=0.01)
+
+
+def test_register_batch_sharded_over_mesh(rng):
+    """Instances sharded across a mesh axis compile & run under jit."""
+    tgt_pts = _bumpy(rng, 100)
+    tgt = estimate_normals(PointCloud.from_numpy(tgt_pts, capacity=128), k=10)
+    voxel = 0.01
+    tf = compute_fpfh(tgt, jnp.float32(voxel * 5))
+
+    srcs, feats = [], []
+    for i in range(8):
+        src = estimate_normals(
+            PointCloud.from_numpy(tgt_pts + np.float32(0.001 * i), capacity=128),
+            k=10,
+        )
+        srcs.append(src)
+        feats.append(compute_fpfh(src, jnp.float32(voxel * 5)))
+    batch = stack_clouds(srcs)
+    from tpu3d.types import FPFHFeatures
+
+    fbatch = FPFHFeatures(
+        descriptors=jnp.stack([f.descriptors for f in feats]),
+        mask=jnp.stack([f.mask for f in feats]),
+    )
+    mesh = make_mesh(("inst",))
+    batch, fbatch = shard_instances(batch, fbatch, mesh, "inst")
+    refined, _ = register_batch(
+        batch, tgt, fbatch, tf, voxel,
+        ransac_max_iterations=256, icp_max_iterations=5, ransac_chunk=256,
+    )
+    assert np.asarray(refined.transformation).shape == (8, 4, 4)
+    assert np.all(np.isfinite(np.asarray(refined.transformation)))

@@ -1,0 +1,80 @@
+"""Wall-clock timing that actually synchronizes.
+
+The reference times stages with chrono around host calls
+(pipeline.cpp:34,139-142). JAX dispatch is async — and on tunneled TPU
+platforms ``block_until_ready`` can be a no-op — so the only reliable sync
+is reading a scalar back to the host. ``device_timeit`` reduces the
+function's outputs to one scalar inside jit and fetches it; the measured
+roundtrip floor is reported so callers can subtract it.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _to_scalar(out) -> jnp.ndarray:
+    leaves = jax.tree.leaves(out)
+    acc = jnp.float32(0.0)
+    for leaf in leaves:
+        if hasattr(leaf, "dtype"):
+            acc = acc + jnp.sum(leaf).astype(jnp.float32)
+    return acc
+
+
+def roundtrip_ms(n: int = 5) -> float:
+    """Host↔device scalar readback floor."""
+    x = jnp.float32(1.0)
+    f = jax.jit(lambda v: v + 1.0)
+    float(f(x))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        float(f(x))
+    return (time.perf_counter() - t0) / n * 1000.0
+
+
+def device_timeit(
+    fn: Callable, *args, iters: int = 3, warmup: int = 1
+) -> dict:
+    """Time ``fn(*args)`` with forced scalar sync.
+
+    Returns {'best_ms', 'mean_ms', 'roundtrip_ms', 'best_net_ms'}.
+    """
+    synced = jax.jit(lambda *a: _to_scalar(fn(*a)))
+    for _ in range(warmup):
+        float(synced(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(synced(*args))
+        times.append((time.perf_counter() - t0) * 1000.0)
+    rt = roundtrip_ms()
+    best = min(times)
+    return {
+        "best_ms": best,
+        "mean_ms": sum(times) / len(times),
+        "roundtrip_ms": rt,
+        "best_net_ms": max(best - rt, 0.0),
+    }
+
+
+class StageTimer:
+    """Per-stage wall timers with the reference's print style."""
+
+    def __init__(self):
+        self.stages: dict[str, float] = {}
+
+    def time(self, name: str, fn: Callable, *args):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        out = jax.block_until_ready(out)
+        self.stages[name] = (time.perf_counter() - t0) * 1000.0
+        return out
+
+    def report(self):
+        for name, ms in self.stages.items():
+            print(f"  {name}: {ms:.1f} ms")
