@@ -36,19 +36,22 @@ def _bin_index(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.floor((x + 1.0) * 5.5), 0.0, 10.0).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("max_nn", "chunk"))
+@functools.partial(jax.jit, static_argnames=("max_nn", "chunk", "method"))
 def compute_fpfh(
     cloud: PointCloud,
     radius: jnp.ndarray,
     max_nn: int = _MAX_NN,
     chunk: int = 512,
+    method: str = "auto",
 ) -> FPFHFeatures:
     if cloud.normals is None:
         raise ValueError("compute_fpfh requires normals (run estimate_normals)")
     pts, nrm, mask = cloud.points, cloud.normals, cloud.mask
     n = cloud.capacity
 
-    idx, d2, in_radius = radius_capped_neighbors(pts, mask, radius, max_nn)
+    idx, d2, in_radius = radius_capped_neighbors(
+        pts, mask, radius, max_nn, method=method
+    )
     dist = jnp.sqrt(d2)
     # Contribution gate: within radius, valid target, and pair distance
     # >= 1e-8 (which also removes self at distance 0).

@@ -23,10 +23,12 @@ from tpu3d.ops.neighbors import knn
 from tpu3d.types import PointCloud
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def estimate_normals(cloud: PointCloud, k: int = 30, chunk: int = 1024) -> PointCloud:
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "method"))
+def estimate_normals(
+    cloud: PointCloud, k: int = 30, chunk: int = 1024, method: str = "auto"
+) -> PointCloud:
     pts = cloud.points
-    idx, d2 = knn(pts, pts, cloud.mask, k=k, chunk=chunk)
+    idx, d2 = knn(pts, pts, cloud.mask, k=k, chunk=chunk, method=method)
     # Neighbors beyond the valid count come back at +inf distance; weight
     # them out (reference uses min(k, n) neighbors, registration.cpp:74-78).
     w = (d2 < 1e29).astype(jnp.float32)  # (N, k)

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu3d.ops.neighbors import nearest_neighbor_xla
-from tpu3d.ops.transforms import kabsch, make_transform
+from tpu3d.ops.transforms import kabsch_quat, make_transform
 from tpu3d.types import FPFHFeatures, PointCloud, RegistrationResult
 
 
@@ -111,7 +111,7 @@ def ransac_registration(
 
     def score_chunk(args):
         s3, t3, bad = args  # (C,3,3), (C,3,3), (C,)
-        R, t = kabsch(s3, t3)  # batched 3x3 SVD with reflection fix
+        R, t = kabsch_quat(s3, t3)  # closed-form QCP — no batched SVD
         u = jnp.einsum("hij,hi->hj", R, t)  # Rᵀ t
         w15 = jnp.concatenate([u, t, R.reshape(-1, 9)], axis=1)  # (C, 15)
         err2 = (
