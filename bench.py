@@ -162,9 +162,12 @@ def main():
         """Per-instance registration work: normals + FPFH on the source,
         RANSAC coarse, ICP fine (target features precomputed/amortized,
         matching pipeline.cpp:291-294 vs :92-95)."""
+        from tpu3d.registration import surface_neighbors
+
         source = PointCloud(points=src_pts, mask=src_mask)
-        source = estimate_normals(source, k=30)
-        sfeat = compute_fpfh(source, jnp.float32(voxel * 5))
+        nbrs = surface_neighbors(source, jnp.float32(voxel * 5), k=100)
+        source = estimate_normals(source, k=30, neighbors=nbrs)
+        sfeat = compute_fpfh(source, jnp.float32(voxel * 5), neighbors=nbrs)
         coarse = ransac_registration(
             source, tgt, sfeat, tgt_feat, voxel,
             max_iterations=ransac_iters,

@@ -43,15 +43,22 @@ def compute_fpfh(
     max_nn: int = _MAX_NN,
     chunk: int = 512,
     method: str = "auto",
+    neighbors: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> FPFHFeatures:
+    """``neighbors``: optional precomputed (idx, d2) self-kNN with max_nn
+    columns (sorted ascending) to share one search with estimate_normals."""
     if cloud.normals is None:
         raise ValueError("compute_fpfh requires normals (run estimate_normals)")
     pts, nrm, mask = cloud.points, cloud.normals, cloud.mask
     n = cloud.capacity
 
-    idx, d2, in_radius = radius_capped_neighbors(
-        pts, mask, radius, max_nn, method=method
-    )
+    if neighbors is not None:
+        idx, d2 = neighbors[0][:, :max_nn], neighbors[1][:, :max_nn]
+        in_radius = (d2 <= jnp.asarray(radius, jnp.float32) ** 2) & (d2 < 1e29)
+    else:
+        idx, d2, in_radius = radius_capped_neighbors(
+            pts, mask, radius, max_nn, method=method
+        )
     dist = jnp.sqrt(d2)
     # Contribution gate: within radius, valid target, and pair distance
     # >= 1e-8 (which also removes self at distance 0).

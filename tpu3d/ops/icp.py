@@ -32,6 +32,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from tpu3d.ops.grid import build_grid, grid_top1
 from tpu3d.ops.nn_pallas import nearest_neighbor
 from tpu3d.ops.transforms import (
     euler_xyz_to_matrix,
@@ -43,7 +44,9 @@ from tpu3d.types import PointCloud, RegistrationResult
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iterations", "point_to_plane")
+    jax.jit,
+    static_argnames=("max_iterations", "point_to_plane", "nn_mode",
+                     "cell_capacity"),
 )
 def icp_refine(
     source: PointCloud,
@@ -52,7 +55,14 @@ def icp_refine(
     distance_threshold,
     max_iterations: int = 200,
     point_to_plane: bool = True,
+    nn_mode: str = "auto",
+    cell_capacity: int = 16,
 ) -> RegistrationResult:
+    """``nn_mode``: 'grid' buckets the target once (cell = threshold) and
+    scans 27 cells per query — O(N·27·C) instead of O(N·M) per iteration,
+    and EXACT for ICP because matches beyond the threshold are rejected
+    anyway (registration.cpp:337-338). 'brute' is the tiled full scan;
+    'auto' picks grid for targets ≥ 4096 points."""
     thr = jnp.asarray(distance_threshold, jnp.float32)
     use_p2l = point_to_plane and target.normals is not None  # trace-time, like
     # the reference's `point_to_plane && target.hasNormals()` (:343, :365)
@@ -60,10 +70,25 @@ def icp_refine(
     src_pts = source.points.astype(jnp.float32)
     smask = source.mask
 
+    # 'auto': the grid wins on CPU (cheap gathers) but loses on current TPU
+    # XLA (searchsorted/gather lower to slow sequences — measured 830ms vs
+    # 80ms brute at 100k); revisit with a scalar-prefetch Pallas kernel.
+    use_grid = nn_mode == "grid" or (
+        nn_mode == "auto"
+        and target.capacity >= 4096
+        and jax.default_backend() != "tpu"
+    )
+    grid = (
+        build_grid(target.points, target.mask, thr) if use_grid else None
+    )  # built ONCE; reused every iteration (target never moves)
+
     def body(state):
         T, fitness, rmse, it, done = state
         P = transform_points(T, src_pts)  # (N, 3)
-        idx, d2 = nearest_neighbor(P, target.points, target.mask)
+        if use_grid:
+            idx, d2 = grid_top1(grid, P, cell_capacity=cell_capacity)
+        else:
+            idx, d2 = nearest_neighbor(P, target.points, target.mask)
         keep = smask & (jnp.sqrt(d2) <= thr)  # inclusive, :337-338
         wf = keep.astype(jnp.float32)
         n_corr = jnp.sum(wf)

@@ -25,10 +25,20 @@ from tpu3d.types import PointCloud
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "method"))
 def estimate_normals(
-    cloud: PointCloud, k: int = 30, chunk: int = 1024, method: str = "auto"
+    cloud: PointCloud,
+    k: int = 30,
+    chunk: int = 1024,
+    method: str = "auto",
+    neighbors: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> PointCloud:
+    """``neighbors``: optional precomputed (idx, d2) self-kNN with ≥ k
+    columns, sorted ascending — lets the pipeline run ONE neighbor search
+    shared between normals (first k columns) and FPFH (all 100)."""
     pts = cloud.points
-    idx, d2 = knn(pts, pts, cloud.mask, k=k, chunk=chunk, method=method)
+    if neighbors is not None:
+        idx, d2 = neighbors[0][:, :k], neighbors[1][:, :k]
+    else:
+        idx, d2 = knn(pts, pts, cloud.mask, k=k, chunk=chunk, method=method)
     # Neighbors beyond the valid count come back at +inf distance; weight
     # them out (reference uses min(k, n) neighbors, registration.cpp:74-78).
     w = (d2 < 1e29).astype(jnp.float32)  # (N, k)

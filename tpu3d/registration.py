@@ -16,9 +16,13 @@ from typing import Optional
 
 import jax.numpy as jnp
 
+import jax
+
 from tpu3d.config import RegistrationConfig
 from tpu3d.ops.fpfh import compute_fpfh
+from tpu3d.ops.grid import build_grid, grid_knn
 from tpu3d.ops.icp import icp_refine
+from tpu3d.ops.neighbors import knn
 from tpu3d.ops.normals import estimate_normals
 from tpu3d.ops.ransac import ransac_registration
 from tpu3d.ops.voxel import compact, voxel_downsample
@@ -33,10 +37,37 @@ def bucket_capacity(count: int, minimum: int = 256) -> int:
     return cap
 
 
+def surface_neighbors(
+    cloud: PointCloud, radius, k: int = 100, mode: str = "auto"
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One self-kNN (idx, d2) shared by normals (first 30 columns) and FPFH
+    (all k, radius-gated).
+
+    mode 'grid' buckets the cloud at cell = radius and scans 27 cells —
+    O(N·27·C); exact for the FPFH radius cap, and exact for the k=30 normals
+    neighborhood whenever ≥ 30 points fall within the radius (the dense
+    common case; sparse outliers get their in-radius subset). 'brute' is the
+    full O(N²) scan matching the reference's findKNN (registration.cpp:63).
+    'auto': grid at scale, brute below (where it is both exact and fast).
+    """
+    if mode == "auto":
+        # Grid wins on CPU; on TPU the gather-heavy lowering loses to the
+        # approx-top-k brute scan (see tpu3d/ops/icp.py note).
+        at_scale = cloud.capacity >= 16384
+        mode = (
+            "grid" if at_scale and jax.default_backend() != "tpu" else "brute"
+        )
+    if mode == "grid":
+        grid = build_grid(cloud.points, cloud.mask, radius)
+        return grid_knn(grid, cloud.points, k=k)
+    return knn(cloud.points, cloud.points, cloud.mask, k=k)
+
+
 def prepare_cloud(
     cloud: PointCloud,
     config: RegistrationConfig,
     capacity: Optional[int] = None,
+    neighbor_mode: str = "auto",
 ) -> tuple[PointCloud, FPFHFeatures]:
     """Downsample + normals + FPFH — the per-cloud preprocessing the
     reference runs for both the scene instance (pipeline.cpp:92-95) and the
@@ -47,8 +78,10 @@ def prepare_cloud(
         count = int(down.count())  # host sync at the stage boundary
         capacity = bucket_capacity(max(count, 1))
     down = compact(down, capacity)
-    down = estimate_normals(down, k=30)
-    features = compute_fpfh(down, jnp.float32(config.voxel_size * 5.0))
+    radius = jnp.float32(config.voxel_size * 5.0)
+    nbrs = surface_neighbors(down, radius, k=100, mode=neighbor_mode)
+    down = estimate_normals(down, k=30, neighbors=nbrs)
+    features = compute_fpfh(down, radius, neighbors=nbrs)
     return down, features
 
 
