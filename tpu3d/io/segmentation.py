@@ -114,9 +114,17 @@ def get_masks(
 
 
 def resize_mask_nearest(mask: np.ndarray, height: int, width: int) -> np.ndarray:
-    """cv::resize INTER_NEAREST equivalent (pipeline.cpp:39-41)."""
+    """cv::resize INTER_NEAREST equivalent (pipeline.cpp:39-41). Uses the
+    native pooled implementation when built (also binarizes at 10, which
+    depth_preprocess's > 10 test then passes through unchanged)."""
     if mask.shape == (height, width):
         return mask
+    from tpu3d import native
+
+    if native.available():
+        out = native.resize_mask_nearest_threshold(mask, height, width)
+        if out is not None:
+            return out
     if _HAS_CV2:
         return cv2.resize(mask, (width, height), interpolation=cv2.INTER_NEAREST)
     ys = (np.arange(height) * mask.shape[0] / height).astype(np.int64)

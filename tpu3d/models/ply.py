@@ -41,6 +41,12 @@ def load_ply(path: str):
     Missing file → empty arrays + stderr message, matching
     registration.cpp:419-423's degrade-don't-throw behavior.
     """
+    from tpu3d import native
+
+    if native.available():
+        out = native.load_ply(path)
+        if out is not None:
+            return out
     try:
         f = open(path, "rb")
     except OSError:

@@ -23,13 +23,67 @@ from tpu3d.ops.neighbors import knn
 from tpu3d.types import PointCloud
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "method"))
+def smallest_eigvec_3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of batched symmetric 3x3
+    matrices — closed form (Cardano eigenvalues + spectral projector), pure
+    elementwise math. Replaces batched ``jnp.linalg.eigh`` (iterative, the
+    cost center of normal estimation at 100k points). Sign is arbitrary,
+    like eigh/Eigen; callers orient it. Degenerate inputs (λ1 ≈ λ2) return
+    some vector in the eigenspace — the same ambiguity eigh has.
+    """
+    # Scale-normalize for f32 conditioning (eigenvectors are scale-free).
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(A), axis=(-2, -1), keepdims=True), 1e-30
+    )
+    A = A / scale
+
+    q = jnp.trace(A, axis1=-2, axis2=-1) / 3.0
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    p2 = (
+        (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
+    )
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    eye = jnp.eye(3, dtype=A.dtype)
+    B = (A - q[..., None, None] * eye) / p[..., None, None]
+    detB = (
+        B[..., 0, 0] * (B[..., 1, 1] * B[..., 2, 2] - B[..., 1, 2] ** 2)
+        - B[..., 0, 1]
+        * (B[..., 0, 1] * B[..., 2, 2] - B[..., 1, 2] * B[..., 0, 2])
+        + B[..., 0, 2]
+        * (B[..., 0, 1] * B[..., 1, 2] - B[..., 1, 1] * B[..., 0, 2])
+    )
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam3 = q + 2.0 * p * jnp.cos(phi)  # largest
+    lam1 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
+    lam2 = 3.0 * q - lam1 - lam3
+
+    # Spectral projector onto the λ1 eigenspace: (A−λ2 I)(A−λ3 I).
+    P = (A - lam2[..., None, None] * eye) @ (A - lam3[..., None, None] * eye)
+    norms = jnp.sum(P * P, axis=-2)  # column norms (..., 3)
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(
+        P, best[..., None, None].repeat(3, -2), axis=-1
+    )[..., 0]
+    # Fully-degenerate fallback (A ∝ I): projector vanishes — use e_z.
+    vnorm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    ez = jnp.zeros_like(v).at[..., 2].set(1.0)
+    v = jnp.where(vnorm > 1e-20, v / jnp.maximum(vnorm, 1e-30), ez)
+    return v
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "chunk", "method", "eig_method")
+)
 def estimate_normals(
     cloud: PointCloud,
     k: int = 30,
     chunk: int = 1024,
     method: str = "auto",
     neighbors: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    eig_method: str = "analytic",
 ) -> PointCloud:
     """``neighbors``: optional precomputed (idx, d2) self-kNN with ≥ k
     columns, sorted ascending — lets the pipeline run ONE neighbor search
@@ -51,8 +105,11 @@ def estimate_normals(
     # cov = Σ w (p-c)(p-c)ᵀ / Σ w  — scaling matches registration.cpp:120
     cov = jnp.einsum("nki,nkj->nij", diff, diff_u) / wsum[..., None]
 
-    eigvals, eigvecs = jnp.linalg.eigh(cov)
-    normals = eigvecs[..., :, 0]  # smallest-eigenvalue eigenvector
+    if eig_method == "eigh":
+        _, eigvecs = jnp.linalg.eigh(cov)
+        normals = eigvecs[..., :, 0]  # smallest-eigenvalue eigenvector
+    else:
+        normals = smallest_eigvec_3x3(cov)
     # Orient toward the viewpoint/origin: flip when n·(-p) < 0.
     flip = jnp.sum(normals * (-pts), axis=-1) < 0
     normals = jnp.where(flip[:, None], -normals, normals)

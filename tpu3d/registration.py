@@ -21,6 +21,7 @@ import jax
 from tpu3d.config import RegistrationConfig
 from tpu3d.ops.fpfh import compute_fpfh
 from tpu3d.ops.grid import build_grid, grid_knn
+from tpu3d.ops.slab import build_slab, slab_knn
 from tpu3d.ops.icp import icp_refine
 from tpu3d.ops.neighbors import knn
 from tpu3d.ops.normals import estimate_normals
@@ -43,20 +44,26 @@ def surface_neighbors(
     """One self-kNN (idx, d2) shared by normals (first 30 columns) and FPFH
     (all k, radius-gated).
 
-    mode 'grid' buckets the cloud at cell = radius and scans 27 cells —
-    O(N·27·C); exact for the FPFH radius cap, and exact for the k=30 normals
-    neighborhood whenever ≥ 30 points fall within the radius (the dense
-    common case; sparse outliers get their in-radius subset). 'brute' is the
-    full O(N²) scan matching the reference's findKNN (registration.cpp:63).
-    'auto': grid at scale, brute below (where it is both exact and fast).
+    mode 'slab' sorts the cloud by x once and scans one contiguous slice per
+    query block (ops/slab.py) — exact for the FPFH radius cap, and exact for
+    the k=30 normals neighborhood whenever ≥ 30 points fall within the
+    radius (the dense common case; sparse outliers get their in-radius
+    subset). 'grid' is the 27-cell bucket variant (same semantics; slower
+    on TPU). 'brute' is the full O(N²) scan matching the reference's
+    findKNN (registration.cpp:63). 'auto': slab at scale, brute below
+    (where brute is both exact and fast).
     """
     if mode == "auto":
-        # Grid wins on CPU; on TPU the gather-heavy lowering loses to the
-        # approx-top-k brute scan (see tpu3d/ops/icp.py note).
-        at_scale = cloud.capacity >= 16384
-        mode = (
-            "grid" if at_scale and jax.default_backend() != "tpu" else "brute"
-        )
+        mode = "slab" if cloud.capacity >= 16384 else "brute"
+    if mode == "slab":
+        slab = build_slab(cloud.points, cloud.mask)
+        # Query with the slab's OWN sorted points: query blocks are then
+        # maximally x-coherent regardless of the caller's row order, and the
+        # per-row results are un-sorted back at the end (returned idx values
+        # are already original rows via sorted_orig).
+        idx, d2, _overflow = slab_knn(slab, slab.sorted_points, radius, k=k)
+        inv = jnp.argsort(slab.sorted_orig)
+        return idx[inv], d2[inv]
     if mode == "grid":
         grid = build_grid(cloud.points, cloud.mask, radius)
         return grid_knn(grid, cloud.points, k=k)
