@@ -154,20 +154,24 @@ def main():
 
     voxel = 0.002
     src_np, tgt_np, R_true, t_true = make_pair(n)
-    tgt = estimate_normals(PointCloud.from_numpy(tgt_np, capacity=n), k=30)
-    tgt_feat = compute_fpfh(tgt, jnp.float32(voxel * 5))
+    from tpu3d.ops.fused_features import fused_prepare_features
+
+    # Target prep (amortized in the pipeline) uses the same descriptor
+    # variant as the timed source prep — mixing capped and radius-exact
+    # FPFH across the pair would corrupt correspondences.
+    tgt, tgt_feat = fused_prepare_features(
+        PointCloud.from_numpy(tgt_np, capacity=n), jnp.float32(voxel * 5)
+    )
     src_cloud = PointCloud.from_numpy(src_np, capacity=n)
 
     def full_pair(src_pts, src_mask):
         """Per-instance registration work: normals + FPFH on the source,
         RANSAC coarse, ICP fine (target features precomputed/amortized,
         matching pipeline.cpp:291-294 vs :92-95)."""
-        from tpu3d.registration import surface_neighbors
+        from tpu3d.ops.fused_features import fused_prepare_features
 
         source = PointCloud(points=src_pts, mask=src_mask)
-        nbrs = surface_neighbors(source, jnp.float32(voxel * 5), k=100)
-        source = estimate_normals(source, k=30, neighbors=nbrs)
-        sfeat = compute_fpfh(source, jnp.float32(voxel * 5), neighbors=nbrs)
+        source, sfeat = fused_prepare_features(source, jnp.float32(voxel * 5))
         coarse = ransac_registration(
             source, tgt, sfeat, tgt_feat, voxel,
             max_iterations=ransac_iters,

@@ -38,6 +38,10 @@ _BIG = jnp.float32(1e30)
 
 class SlabIndex(NamedTuple):
     sorted_points: jnp.ndarray  # f32[M, 3] targets sorted by x (invalid last)
+    sorted_points_t: jnp.ndarray  # f32[3, M] — TPU layout: coords on the
+    # sublane axis so distance math reduces over axis 0 and the full lane
+    # width rides the candidate axis (a (.., 3)-minor layout uses 3 of 128
+    # lanes — measured 20x slower)
     sorted_orig: jnp.ndarray  # i32[M]
     sorted_x: jnp.ndarray  # f32[M] ascending (invalid = +3e4)
     valid_sorted: jnp.ndarray  # bool[M]
@@ -47,8 +51,10 @@ def build_slab(points: jnp.ndarray, mask: jnp.ndarray) -> SlabIndex:
     big = jnp.float32(3e4)
     x = jnp.where(mask, points[:, 0].astype(jnp.float32), big)
     order = jnp.argsort(x)
+    sorted_points = points.astype(jnp.float32)[order]
     return SlabIndex(
-        sorted_points=points.astype(jnp.float32)[order],
+        sorted_points=sorted_points,
+        sorted_points_t=sorted_points.T,
         sorted_orig=order.astype(jnp.int32),
         sorted_x=x[order],
         valid_sorted=mask[order],
@@ -95,8 +101,8 @@ def slab_top1(
         qc, lo_b, len_b = args
         start = jnp.clip(lo_b, 0, jnp.maximum(m - slice_cap, 0))
         cand = jax.lax.dynamic_slice(
-            slab.sorted_points, (start, 0), (slice_cap, 3)
-        )  # contiguous rows — sequential DMA, no gather
+            slab.sorted_points_t, (0, start), (3, slice_cap)
+        )  # contiguous columns — sequential DMA, no gather
         # Validity by ABSOLUTE row: when ``start`` is clamped below lo_b
         # (slice would run past the array end), the extra early rows are
         # harmless superset candidates, and the true range tail
@@ -104,8 +110,10 @@ def slab_top1(
         cvalid = jax.lax.dynamic_slice(
             slab.valid_sorted, (start,), (slice_cap,)
         ) & (start + jnp.arange(slice_cap) < lo_b + len_b)
-        diff = qc[:, None, :] - cand[None, :, :]
-        d2 = jnp.sum(diff * diff, axis=-1)
+        # (3, block, 1) - (3, 1, L): reduce over the MAJOR axis; lanes carry
+        # the candidate axis at full width.
+        diff = qc.T[:, :, None] - cand[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=0)
         d2 = jnp.where(cvalid[None, :], d2, _BIG)
         best = jnp.argmin(d2, axis=1)
         rows = jnp.arange(block)
@@ -155,7 +163,7 @@ def slab_knn(
         qc, lo_b, len_b = args
         start = jnp.clip(lo_b, 0, jnp.maximum(m - slice_cap, 0))
         cand = jax.lax.dynamic_slice(
-            slab.sorted_points, (start, 0), (slice_cap, 3)
+            slab.sorted_points_t, (0, start), (3, slice_cap)
         )
         # Validity by ABSOLUTE row: when ``start`` is clamped below lo_b
         # (slice would run past the array end), the extra early rows are
@@ -164,8 +172,8 @@ def slab_knn(
         cvalid = jax.lax.dynamic_slice(
             slab.valid_sorted, (start,), (slice_cap,)
         ) & (start + jnp.arange(slice_cap) < lo_b + len_b)
-        diff = qc[:, None, :] - cand[None, :, :]
-        d2 = jnp.sum(diff * diff, axis=-1)
+        diff = qc.T[:, :, None] - cand[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=0)
         d2 = jnp.where(cvalid[None, :], d2, _BIG)
         if method == "approx":
             neg, pos = jax.lax.approx_max_k(-d2, k_eff, recall_target=0.99)
