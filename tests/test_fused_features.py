@@ -1,0 +1,93 @@
+import numpy as np
+import jax.numpy as jnp
+
+from tpu3d.ops.fpfh import compute_fpfh
+from tpu3d.ops.fused_features import fused_prepare_features
+from tpu3d.ops.normals import estimate_normals
+from tpu3d.types import PointCloud
+
+
+def _surface(rng, n):
+    xy = rng.uniform(-0.2, 0.2, size=(n, 2)).astype(np.float32)
+    z = 0.7 + 0.03 * np.sin(25 * xy[:, 0]) * np.cos(22 * xy[:, 1])
+    return np.column_stack([xy, z]).astype(np.float32)
+
+
+def test_fused_matches_gather_path_when_cap_inactive(rng):
+    """With fewer than 100 points in every radius ball, the 100-cap never
+    binds, so fused (radius-exact) and gather (radius-capped) FPFH must
+    agree; normals differ only by neighborhood definition (radius vs 30-NN)
+    so compare them directionally."""
+    pts = _surface(rng, 600)
+    radius = 0.025  # ~15 points per ball at this density
+    cloud = PointCloud.from_numpy(pts, capacity=1024)
+
+    fused_cloud, fused_feat = fused_prepare_features(
+        cloud, jnp.float32(radius), slice_cap=1024, block=128
+    )
+
+    # Gather path with the SAME normals isolates the FPFH comparison.
+    ref_cloud = cloud._replace(normals=fused_cloud.normals)
+    gather_feat = compute_fpfh(ref_cloud, jnp.float32(radius), method="exact")
+
+    f1 = np.asarray(fused_feat.descriptors)[:600]
+    f2 = np.asarray(gather_feat.descriptors)[:600]
+    l1 = np.abs(f1 - f2).sum(axis=1)
+    # f32 noise from different accumulation orders (rsqrt vs sqrt-div, plane
+    # sums vs one-hot einsum); bin-boundary flips would show up as ~0.01+.
+    assert np.quantile(l1, 0.95) < 1e-3, np.quantile(l1, 0.95)
+
+    # Normals: radius-PCA vs 30-NN PCA use different neighborhoods (only
+    # ~15 points fall in this radius, so 30-NN reaches ~2x the area); on a
+    # curved surface that's a few degrees of legitimate difference.
+    knn_cloud = estimate_normals(cloud, k=30, method="exact")
+    n1 = np.asarray(fused_cloud.normals)[:600]
+    n2 = np.asarray(knn_cloud.normals)[:600]
+    dots = np.abs(np.sum(n1 * n2, axis=1))
+    assert np.median(dots) > 0.99, np.median(dots)
+    assert np.quantile(dots, 0.05) > 0.93, np.quantile(dots, 0.05)
+
+
+def test_fused_padding_rows_zero(rng):
+    pts = _surface(rng, 300)
+    cloud = PointCloud.from_numpy(pts, capacity=512)
+    c, f = fused_prepare_features(cloud, jnp.float32(0.03), slice_cap=512,
+                                  block=128)
+    assert np.all(np.asarray(c.normals)[300:] == 0)
+    assert np.all(np.asarray(f.descriptors)[300:] == 0)
+    sums = np.asarray(f.descriptors)[:300].sum(axis=1)
+    # Isolated points (no neighbor within radius) keep an all-zero
+    # descriptor, exactly like the reference's sum>0 guard
+    # (registration.cpp:167, :194); everything else is L1-normalized.
+    assert np.all((np.abs(sums - 1.0) < 1e-4) | (sums == 0.0))
+
+
+def test_fused_registration_end_to_end(rng):
+    """Fused features drive RANSAC to the right pose."""
+    from tpu3d.ops.ransac import ransac_registration
+
+    tgt_pts = _surface(rng, 800)
+    aa = np.array([0.1, -0.15, 0.2])
+    th = np.linalg.norm(aa)
+    k = aa / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    R = (np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K).astype(
+        np.float32
+    )
+    t = np.array([0.02, -0.01, 0.03], np.float32)
+    src_pts = ((tgt_pts - t) @ R).astype(np.float32)
+
+    voxel = 0.006
+    src, sf = fused_prepare_features(
+        PointCloud.from_numpy(src_pts, capacity=1024), jnp.float32(voxel * 5),
+        slice_cap=1024, block=128,
+    )
+    tgt, tf = fused_prepare_features(
+        PointCloud.from_numpy(tgt_pts, capacity=1024), jnp.float32(voxel * 5),
+        slice_cap=1024, block=128,
+    )
+    res = ransac_registration(src, tgt, sf, tf, voxel, max_iterations=4096)
+    T = np.asarray(res.transformation)
+    assert float(res.fitness) > 0.8
+    np.testing.assert_allclose(T[:3, :3], R, atol=0.03)
+    np.testing.assert_allclose(T[:3, 3], t, atol=0.015)
