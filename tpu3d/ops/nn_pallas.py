@@ -88,6 +88,8 @@ def nearest_neighbor_pallas(
     """
     q = queries.shape[0]
     m = targets.shape[0]
+    d = queries.shape[1]  # works for any feature dimension (3-D points,
+    # 33-D FPFH descriptors, ...) — the cross term rides the MXU either way
     qpad = (-q) % block_n
     mpad = (-m) % block_m
 
@@ -97,7 +99,7 @@ def nearest_neighbor_pallas(
     qt = queries.astype(jnp.float32)
     if qpad:
         qt = jnp.pad(qt, ((0, qpad), (0, 0)))
-    s_t = qt.T  # (3, Qp) — lanes along queries
+    s_t = qt.T  # (D, Qp) — lanes along queries
 
     qp, mp = q + qpad, m + mpad
     grid = (qp // block_n, mp // block_m)
@@ -106,9 +108,9 @@ def nearest_neighbor_pallas(
         functools.partial(_nn_kernel, block_m=block_m),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((3, block_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, block_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (block_m, 3), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+                (block_m, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
@@ -124,8 +126,8 @@ def nearest_neighbor_pallas(
             pltpu.VMEM((1, block_n), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * qp * mp * 3 + 4 * qp * mp,
-            bytes_accessed=(qp * 3 + mp * 3 + 2 * qp) * 4,
+            flops=2 * qp * mp * d + 4 * qp * mp,
+            bytes_accessed=(qp * d + mp * d + 2 * qp) * 4,
             transcendentals=0,
         ),
         interpret=interpret,

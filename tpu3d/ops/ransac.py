@@ -2,11 +2,12 @@
 
 Reference semantics (src/registration.cpp:204-295):
   - one-time nearest-neighbor correspondences in 33-D FPFH space
-    (brute force, registration.cpp:216-232) — here a single (N,33)x(33,M)
-    MXU matmul + argmin;
+    (brute force, registration.cpp:216-232) — here the Pallas tiled top-1
+    kernel (dimension-generic MXU matmul + running argmin);
   - per hypothesis: 3 random source indices (duplicates rejected,
-    registration.cpp:239-240), Kabsch/SVD with reflection fix (:254-262),
-    inliers at ``err < 1.5 * voxel_size`` (:213, :275), fitness =
+    registration.cpp:239-240), Kabsch with reflection fix (:254-262) — here
+    the closed-form QCP quaternion solve, no batched SVD;
+  - inliers at ``err < 1.5 * voxel_size`` (:213, :275), fitness =
     inliers/N, rmse over inliers (999 if none), keep best fitness
     (strict >, so earliest of equals), stop once fitness > confidence
     (:284-290);
@@ -15,17 +16,18 @@ Reference semantics (src/registration.cpp:204-295):
     mt19937 is impossible and not a goal; fidelity is gated on inlier sets
     and pose error (BASELINE.md).
 
-TPU formulation: ALL hypotheses are generated, solved (batched 3x3 SVD) and
-scored at once. Scoring is a single fused matmul per hypothesis chunk:
-||R·p + t − q||² expands to a rank-15 product
+TPU formulation: ALL hypotheses are generated, solved and scored at once.
+Scoring expands ||R·p + t − q||² into a rank-15 product
 
   err²[n,h] = F_n · W_h + (||p_n||² + ||q_n||²) + ||t_h||²
   F_n = [2p, −2q, −2(q⊗p)]   (n,15)     W_h = [Rᵀt, t, vec(R)]   (h,15)
 
-so the (n × h) inlier-count plane rides the MXU. The reference's sequential
-early-exit is emulated exactly at the semantic level: the returned result is
-the best hypothesis in the prefix ending at the first one whose fitness
-exceeds ``confidence`` (same rule as the break at registration.cpp:290).
+executed by a fused Pallas kernel on TPU (ops/ransac_pallas.py — the tile
+never leaves VMEM) or a chunked lax.map elsewhere. The reference's
+sequential early-exit is emulated exactly at the semantic level: the
+returned result is the best hypothesis in the prefix ending at the first
+one whose fitness exceeds ``confidence`` (the break at
+registration.cpp:290).
 """
 
 from __future__ import annotations
@@ -35,7 +37,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from tpu3d.ops.neighbors import nearest_neighbor_xla
+from tpu3d.ops.nn_pallas import nearest_neighbor
+from tpu3d.ops.ransac_pallas import score_hypotheses_pallas
 from tpu3d.ops.transforms import kabsch_quat, make_transform
 from tpu3d.types import FPFHFeatures, PointCloud, RegistrationResult
 
@@ -44,8 +47,10 @@ def feature_correspondences(
     source_features: FPFHFeatures, target_features: FPFHFeatures
 ) -> jnp.ndarray:
     """Nearest target index in 33-D descriptor space per source point
-    (registration.cpp:216-232). Ties → lowest index, like the reference."""
-    idx, _ = nearest_neighbor_xla(
+    (registration.cpp:216-232). Ties → lowest index, like the reference.
+    Dispatches to the Pallas tiled kernel on TPU (dimension-generic — the
+    33-D cross term rides the MXU)."""
+    idx, _ = nearest_neighbor(
         source_features.descriptors,
         target_features.descriptors,
         target_features.mask,
@@ -89,54 +94,57 @@ def ransac_registration(
         | (draws[:, 0] == draws[:, 2])
     )
     sample_idx = perm[draws]  # (H, 3) indices into capacity rows
-    # Hypotheses past max_iterations (chunk padding) are disabled like
-    # duplicate-sample ones.
     h_ids = jnp.arange(h_total)
     disabled = dup | (h_ids >= max_iterations)
 
-    src3 = p[sample_idx]  # (H, 3, 3)
-    tgt3 = q[sample_idx]  # correspondences of the sampled source points
+    # --- solve ALL hypotheses (closed form, no SVD) -------------------------
+    Rs, ts = kabsch_quat(p[sample_idx], q[sample_idx])  # (H,3,3), (H,3)
 
-    # --- score constants -----------------------------------------------------
+    # --- score: rank-15 expansion -------------------------------------------
     pq_norm = jnp.sum(p * p, axis=1) + jnp.sum(q * q, axis=1)  # (N,)
+    pq_norm = jnp.where(source.mask, pq_norm, 1e30)  # invalid rows never hit
     feat = jnp.concatenate(
         [
             2.0 * p,
             -2.0 * q,
             -2.0 * (q[:, :, None] * p[:, None, :]).reshape(n, 9),
+            jnp.zeros((n, 1), jnp.float32),  # pad 15 → 16 for tiling
         ],
         axis=1,
-    )  # (N, 15)
-    smask = source.mask.astype(jnp.float32)
-
-    def score_chunk(args):
-        s3, t3, bad = args  # (C,3,3), (C,3,3), (C,)
-        R, t = kabsch_quat(s3, t3)  # closed-form QCP — no batched SVD
-        u = jnp.einsum("hij,hi->hj", R, t)  # Rᵀ t
-        w15 = jnp.concatenate([u, t, R.reshape(-1, 9)], axis=1)  # (C, 15)
-        err2 = (
-            feat @ w15.T + pq_norm[:, None] + jnp.sum(t * t, axis=1)[None, :]
-        )  # (N, C)
-        inlier = (err2 < thr2) & (smask[:, None] > 0)
-        cnt = jnp.sum(inlier.astype(jnp.float32), axis=0)  # (C,)
-        errsum = jnp.sum(jnp.where(inlier, jnp.maximum(err2, 0.0), 0.0), axis=0)
-        fitness = jnp.where(bad, -1.0, cnt / jnp.maximum(n_valid, 1.0))
-        rmse = jnp.where(cnt > 0, jnp.sqrt(errsum / jnp.maximum(cnt, 1.0)), 999.0)
-        return fitness, rmse, R, t
-
-    n_chunks = h_total // chunk
-    fitness, rmse, Rs, ts = jax.lax.map(
-        score_chunk,
-        (
-            src3.reshape(n_chunks, chunk, 3, 3),
-            tgt3.reshape(n_chunks, chunk, 3, 3),
-            disabled.reshape(n_chunks, chunk),
-        ),
+    )  # (N, 16)
+    u = jnp.einsum("hij,hi->hj", Rs, ts)  # Rᵀ t
+    w16 = jnp.concatenate(
+        [u, ts, Rs.reshape(-1, 9), jnp.zeros((h_total, 1), jnp.float32)],
+        axis=1,
     )
-    fitness = fitness.reshape(-1)
-    rmse = rmse.reshape(-1)
-    Rs = Rs.reshape(-1, 3, 3)
-    ts = ts.reshape(-1, 3)
+    t_norm = jnp.sum(ts * ts, axis=1)
+
+    if jax.default_backend() == "tpu":
+        cnt, errsum = score_hypotheses_pallas(feat, pq_norm, w16, t_norm, thr2)
+    else:
+
+        def score_chunk(args):
+            wc, tc = args  # (C, 16), (C,)
+            err2 = feat @ wc.T + pq_norm[:, None] + tc[None, :]
+            inl = err2 < thr2
+            return (
+                jnp.sum(inl.astype(jnp.float32), axis=0),
+                jnp.sum(jnp.where(inl, jnp.maximum(err2, 0.0), 0.0), axis=0),
+            )
+
+        n_chunks = h_total // chunk
+        cnt, errsum = jax.lax.map(
+            score_chunk,
+            (w16.reshape(n_chunks, chunk, 16),
+             t_norm.reshape(n_chunks, chunk)),
+        )
+        cnt = cnt.reshape(-1)
+        errsum = errsum.reshape(-1)
+
+    fitness = jnp.where(disabled, -1.0, cnt / jnp.maximum(n_valid, 1.0))
+    rmse = jnp.where(
+        cnt > 0, jnp.sqrt(errsum / jnp.maximum(cnt, 1.0)), 999.0
+    )
 
     # --- early-exit prefix semantics (registration.cpp:284-290) -------------
     exceed = fitness > confidence

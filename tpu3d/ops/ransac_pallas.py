@@ -1,0 +1,114 @@
+"""Pallas fused RANSAC hypothesis scoring.
+
+The XLA path materializes the (points × hypotheses) err² plane in HBM
+between the matmul and the inlier compare (≈80 GB of traffic at 100k × 100k
+— the measured cost center). This kernel keeps each (BN × BH) tile in VMEM:
+MXU matmul → compare → masked accumulate, with per-hypothesis running
+(inlier count, err² sum) carried in scratch across source tiles.
+
+err²[i,h] = F_i · W_h + (‖p_i‖² + ‖q_i‖²) + ‖t_h‖²   (see ops/ransac.py)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _score_kernel(thr2_ref, feat_ref, pq_ref, w_ref, tn_ref,
+                  cnt_ref, err_ref, acc_c, acc_e):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_c[:] = jnp.zeros_like(acc_c)
+        acc_e[:] = jnp.zeros_like(acc_e)
+
+    cross = jnp.dot(
+        feat_ref[:], w_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (BN, BH)
+    err2 = cross + pq_ref[:] + tn_ref[:]  # (BN,1) + (1,BH) broadcasts
+    inl = err2 < thr2_ref[0]
+    acc_c[0, :] += jnp.sum(inl.astype(jnp.float32), axis=0)
+    acc_e[0, :] += jnp.sum(jnp.where(inl, jnp.maximum(err2, 0.0), 0.0), axis=0)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _finish():
+        cnt_ref[:] = acc_c[:]
+        err_ref[:] = acc_e[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "block_h", "interpret")
+)
+def score_hypotheses_pallas(
+    feat: jnp.ndarray,  # f32[N, 16] — rank-15 factors, zero-padded to 16
+    pq_norm: jnp.ndarray,  # f32[N] — ‖p‖²+‖q‖² (+1e30 on invalid rows)
+    w16: jnp.ndarray,  # f32[H, 16] — [Rᵀt, t, vec(R), 0]
+    t_norm: jnp.ndarray,  # f32[H] — ‖t_h‖²
+    thr2,
+    block_n: int = 2048,
+    block_h: int = 512,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (inlier_count f32[H], err2_sum f32[H])."""
+    n, d = feat.shape
+    h = w16.shape[0]
+    npad = (-n) % block_n
+    hpad = (-h) % block_h
+    if npad:
+        feat = jnp.pad(feat, ((0, npad), (0, 0)))
+        pq_norm = jnp.pad(pq_norm, (0, npad), constant_values=1e30)
+    if hpad:
+        w16 = jnp.pad(w16, ((0, hpad), (0, 0)))
+        t_norm = jnp.pad(t_norm, (0, hpad))
+    np_, hp = n + npad, h + hpad
+
+    cnt, err = pl.pallas_call(
+        _score_kernel,
+        grid=(hp // block_h, np_ // block_n),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # thr2 (1,)
+            pl.BlockSpec((block_n, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, block_h), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_h), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, hp), jnp.float32),
+            jax.ShapeDtypeStruct((1, hp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, block_h), jnp.float32),
+            pltpu.VMEM((1, block_h), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * hp * d + 4 * np_ * hp,
+            bytes_accessed=(np_ * d + hp * d + 2 * hp) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray([thr2], jnp.float32),
+        feat,
+        pq_norm[:, None],
+        w16.T,
+        t_norm[None, :],
+    )
+    return cnt[0, :h], err[0, :h]
