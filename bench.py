@@ -213,6 +213,9 @@ def main():
     log(f"cpu reference (extrapolated oracle): {cpu['cpu_pair_seconds']:.0f}s"
         f" → speedup {speedup:.0f}x; quality_ok={quality_ok}")
 
+    if os.environ.get("TPU3D_BENCH_EXTRAS") == "1":
+        run_extras(log)
+
     print(
         json.dumps(
             {
@@ -222,6 +225,76 @@ def main():
                 "vs_baseline": round(speedup, 1),
             }
         )
+    )
+
+
+def run_extras(log):
+    """Stretch configs (BASELINE.json configs[3..4]); stderr only."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3d.ops.fused_features import fused_prepare_features
+    from tpu3d.ops.slab import build_slab, slab_top1
+    from tpu3d.parallel.batched import register_batch, stack_clouds
+    from tpu3d.types import FPFHFeatures, PointCloud
+
+    # --- 1M-point scene: exact thresholded NN (the ICP inner loop) ---------
+    n1m = 1 << 20
+    src_np, _, _, _ = make_pair(n1m, seed=5)
+    pts = jnp.asarray(src_np[np.argsort(src_np[:, 0], kind="stable")])
+    mask = jnp.ones(n1m, bool)
+    slab = build_slab(pts, mask)
+    f = jax.jit(lambda: jnp.sum(slab_top1(slab, pts, 0.002, slice_cap=8192)[1]))
+    float(f())
+    t0 = time.time()
+    float(f())
+    log(f"extra: slab NN 1Mx1M (r=2mm): {(time.time()-t0)*1000:.0f} ms/pass")
+
+    # --- 64-instance batched bin picking ------------------------------------
+    voxel = 0.005
+    ntgt, nsrc, B = 16384, 8192, 64
+    _, tgt_np, _, _ = make_pair(ntgt, voxel=voxel)
+    tgt, tf = fused_prepare_features(
+        PointCloud.from_numpy(tgt_np, capacity=ntgt), jnp.float32(voxel * 5)
+    )
+    rng = np.random.default_rng(1)
+    srcs, feats = [], []
+    for _ in range(B):
+        aa = rng.normal(size=3) * 0.15
+        th = np.linalg.norm(aa)
+        k = aa / th
+        K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        Rb = (np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K).astype(
+            np.float32
+        )
+        tb = (rng.normal(size=3) * 0.03).astype(np.float32)
+        sel = rng.choice(ntgt, nsrc, replace=False)
+        c, fe = fused_prepare_features(
+            PointCloud.from_numpy(((tgt_np[sel] - tb) @ Rb), capacity=nsrc),
+            jnp.float32(voxel * 5),
+        )
+        srcs.append(c)
+        feats.append(fe)
+    batch = stack_clouds(srcs)
+    fb = FPFHFeatures(
+        jnp.stack([x.descriptors for x in feats]),
+        jnp.stack([x.mask for x in feats]),
+    )
+    g = jax.jit(
+        lambda: jnp.sum(
+            register_batch(
+                batch, tgt, fb, tf, voxel,
+                ransac_max_iterations=4096, icp_max_iterations=30,
+            )[0].fitness
+        )
+    )
+    float(g())
+    t0 = time.time()
+    fitsum = float(g())
+    dt = time.time() - t0
+    log(
+        f"extra: 64-instance batch: {dt*1000:.0f} ms"
+        f" ({B/dt:.0f} instances/s), mean fitness {fitsum/B:.3f}"
     )
 
 
