@@ -14,6 +14,7 @@ Reference parity:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -148,35 +149,60 @@ def kabsch_quat(
     src_c = src - src_mean
     tgt_c = tgt - tgt_mean
     src_cw = src_c * w
-    H = jnp.swapaxes(src_cw, -1, -2) @ tgt_c  # H[i,j] = Σ w src_i tgt_j
+    # Correlation entries as (...,) PLANES — everything downstream stays
+    # structure-of-arrays: batched (H,4,4) micro-ops put dims 4x4 on the
+    # sublane/lane axes and waste 124 of 128 lanes (measured ~10x slower).
+    def _corr(i, j):
+        return jnp.sum(src_cw[..., i] * tgt_c[..., j], axis=-1)
+
+    sxx, sxy, sxz = _corr(0, 0), _corr(0, 1), _corr(0, 2)
+    syx, syy, syz = _corr(1, 0), _corr(1, 1), _corr(1, 2)
+    szx, szy, szz = _corr(2, 0), _corr(2, 1), _corr(2, 2)
     # Upper bound on λ_max: E0 = ½ Σ w (‖src_c‖² + ‖tgt_c‖²) ≥ Σ w tgt·R src.
     e0 = 0.5 * jnp.sum(
         weights * (jnp.sum(src_c * src_c, -1) + jnp.sum(tgt_c * tgt_c, -1)),
         axis=-1,
     )
 
-    sxx, sxy, sxz = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
-    syx, syy, syz = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
-    szx, szy, szz = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
-    N = jnp.stack(
-        [
-            jnp.stack([sxx + syy + szz, syz - szy, szx - sxz, sxy - syx], -1),
-            jnp.stack([syz - szy, sxx - syy - szz, sxy + syx, szx + sxz], -1),
-            jnp.stack([szx - sxz, sxy + syx, -sxx + syy - szz, syz + szy], -1),
-            jnp.stack([sxy - syx, szx + sxz, syz + szy, -sxx - syy + szz], -1),
-        ],
-        -2,
-    )  # (..., 4, 4) symmetric, traceless
+    # Horn matrix N (symmetric, traceless) as 10 unique planes.
+    n00 = sxx + syy + szz
+    n01 = syz - szy
+    n02 = szx - sxz
+    n03 = sxy - syx
+    n11 = sxx - syy - szz
+    n12 = sxy + syx
+    n13 = szx + sxz
+    n22 = -sxx + syy - szz
+    n23 = syz + szy
+    n33 = -sxx - syy + szz
 
-    # Characteristic quartic λ⁴ + c2 λ² + c1 λ + c0 via Newton's identities
-    # (c3 = −tr N = 0). Batched 4x4 matmuls are trivial elementwise cost.
-    N2 = N @ N
-    N3 = N2 @ N
-    N4 = N3 @ N
-    tr = lambda a: jnp.trace(a, axis1=-2, axis2=-1)  # noqa: E731
-    c2 = -0.5 * tr(N2)
-    c1 = -tr(N3) / 3.0
-    c0 = -0.25 * (tr(N4) + c2 * tr(N2))
+    # M = N² (symmetric) — explicit plane products.
+    m00 = n00 * n00 + n01 * n01 + n02 * n02 + n03 * n03
+    m01 = n00 * n01 + n01 * n11 + n02 * n12 + n03 * n13
+    m02 = n00 * n02 + n01 * n12 + n02 * n22 + n03 * n23
+    m03 = n00 * n03 + n01 * n13 + n02 * n23 + n03 * n33
+    m11 = n01 * n01 + n11 * n11 + n12 * n12 + n13 * n13
+    m12 = n01 * n02 + n11 * n12 + n12 * n22 + n13 * n23
+    m13 = n01 * n03 + n11 * n13 + n12 * n23 + n13 * n33
+    m22 = n02 * n02 + n12 * n12 + n22 * n22 + n23 * n23
+    m23 = n02 * n03 + n12 * n13 + n22 * n23 + n23 * n33
+    m33 = n03 * n03 + n13 * n13 + n23 * n23 + n33 * n33
+
+    tr2 = m00 + m11 + m22 + m33
+    tr3 = (
+        n00 * m00 + n11 * m11 + n22 * m22 + n33 * m33
+        + 2.0 * (n01 * m01 + n02 * m02 + n03 * m03
+                 + n12 * m12 + n13 * m13 + n23 * m23)
+    )
+    tr4 = (
+        m00 * m00 + m11 * m11 + m22 * m22 + m33 * m33
+        + 2.0 * (m01 * m01 + m02 * m02 + m03 * m03
+                 + m12 * m12 + m13 * m13 + m23 * m23)
+    )
+    # Characteristic quartic λ⁴ + c2 λ² + c1 λ + c0 (c3 = −tr N = 0).
+    c2 = -0.5 * tr2
+    c1 = -tr3 / 3.0
+    c0 = -0.25 * (tr4 + c2 * tr2)
 
     lam = e0  # λ_max ≤ E0: Newton from above converges monotonically
     for _ in range(newton_iters):
@@ -185,39 +211,64 @@ def kabsch_quat(
         lam = lam - p / jnp.where(jnp.abs(dp) > 1e-20, dp, 1e-20)
 
     # Eigenvector: adjugate of A = N − λI (symmetric ⇒ every nonzero column
-    # is the null direction). Build all 4 columns, keep the largest; then
-    # polish with Rayleigh-quotient rounds — f32 cancellation in the quartic
-    # coefficients limits the Newton λ near exact fits (λ_max = E0), and the
-    # Rayleigh update λ ← vᵀNv recovers the lost digits.
-    eye4 = jnp.eye(4, dtype=N.dtype)
-
+    # is the null direction). Build all 4 columns (plane cofactors), keep
+    # the largest; polish with Rayleigh-quotient rounds — f32 cancellation
+    # in the quartic coefficients limits the Newton λ near exact fits
+    # (λ_max = E0) and the Rayleigh update λ ← vᵀNv recovers the digits.
     def _adj_best_col(lam_):
-        A = N - lam_[..., None, None] * eye4
+        a00, a11 = n00 - lam_, n11 - lam_
+        a22, a33 = n22 - lam_, n33 - lam_
+        A = [
+            [a00, n01, n02, n03],
+            [n01, a11, n12, n13],
+            [n02, n12, a22, n23],
+            [n03, n13, n23, a33],
+        ]
+
+        def det3(r, c):
+            (i0, i1, i2), (j0, j1, j2) = r, c
+            return (
+                A[i0][j0] * (A[i1][j1] * A[i2][j2] - A[i1][j2] * A[i2][j1])
+                - A[i0][j1] * (A[i1][j0] * A[i2][j2] - A[i1][j2] * A[i2][j0])
+                + A[i0][j2] * (A[i1][j0] * A[i2][j1] - A[i1][j1] * A[i2][j0])
+            )
+
         idx = [0, 1, 2, 3]
-        cols = []
+        cand = []  # 4 candidate columns, each 4 planes
         for k in range(4):
-            rows = [i for i in idx if i != k]
+            rows = tuple(i for i in idx if i != k)
             col = []
             for i in range(4):
-                cs = [j for j in idx if j != i]
-                minor = A[..., rows, :][..., :, cs]
-                col.append(((-1.0) ** (i + k)) * _det3(minor))
-            cols.append(jnp.stack(col, -1))  # adj(A)[:, k] as (..., 4)
-        cand = jnp.stack(cols, -2)  # (..., 4 candidates, 4)
-        norms = jnp.sum(cand * cand, -1)
-        best = jnp.argmax(norms, axis=-1)
-        v_ = jnp.take_along_axis(
-            cand, best[..., None, None].repeat(4, -1), -2
-        )[..., 0, :]
-        return v_ / jnp.maximum(
-            jnp.linalg.norm(v_, axis=-1, keepdims=True), 1e-30
-        )
+                cs = tuple(j for j in idx if j != i)
+                col.append(((-1.0) ** (i + k)) * det3(rows, cs))
+            cand.append(col)
+        norms = [sum(c[i] * c[i] for i in range(4)) for c in cand]
+        # Select the largest column with nested where (planes, no gathers).
+        best_col = cand[0]
+        best_norm = norms[0]
+        for k in range(1, 4):
+            take = norms[k] > best_norm
+            best_col = [
+                jnp.where(take, cand[k][i], best_col[i]) for i in range(4)
+            ]
+            best_norm = jnp.where(take, norms[k], best_norm)
+        inv = jax.lax.rsqrt(jnp.maximum(best_norm, 1e-60))
+        return [c * inv for c in best_col]
 
     v = _adj_best_col(lam)
+
+    def _rayleigh(v_):
+        v0, v1, v2, v3 = v_
+        nv0 = n00 * v0 + n01 * v1 + n02 * v2 + n03 * v3
+        nv1 = n01 * v0 + n11 * v1 + n12 * v2 + n13 * v3
+        nv2 = n02 * v0 + n12 * v1 + n22 * v2 + n23 * v3
+        nv3 = n03 * v0 + n13 * v1 + n23 * v2 + n33 * v3
+        return v0 * nv0 + v1 * nv1 + v2 * nv2 + v3 * nv3
+
     for _ in range(2):
-        lam = jnp.einsum("...i,...ij,...j->...", v, N, v)  # Rayleigh quotient
+        lam = _rayleigh(v)
         v = _adj_best_col(lam)
-    q0, qx, qy, qz = v[..., 0], v[..., 1], v[..., 2], v[..., 3]
+    q0, qx, qy, qz = v[0], v[1], v[2], v[3]
 
     row0 = jnp.stack(
         [
