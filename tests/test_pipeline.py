@@ -119,6 +119,20 @@ def test_demo_pipeline_with_robot_and_viewer(tmp_path):
     assert pipe.viewer is not None
 
 
+def test_pipeline_save_load_results(tmp_path):
+    cfg = _demo_config()
+    cfg.registration.ransac_max_iterations = 500
+    cfg.registration.icp_max_iterations = 10
+    pipe = Pipeline(cfg, sleep_fn=lambda s: None)
+    pipe.run()
+    path = str(tmp_path / "run.npz")
+    pipe.save_results(path)
+    out = Pipeline.load_results(path)
+    assert out["waypoints"].shape == (1, 4, 4)
+    assert out["fitness"].shape == (1,)
+    np.testing.assert_allclose(out["waypoints"][0], pipe.waypoints[0])
+
+
 def test_filter_duplicates_semantics():
     def T(x, y, z):
         M = np.eye(4, dtype=np.float32)

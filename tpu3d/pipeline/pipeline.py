@@ -306,6 +306,30 @@ class Pipeline:
             self.viewer.stop()
         return final_waypoints
 
+    def save_results(self, path: str):
+        """Persist pick poses + per-instance metrics (.npz). The reference
+        has no persistence at all (SURVEY.md §5 checkpoint/resume: none) —
+        this closes that gap minimally: a run's outputs can be reloaded and
+        replayed against the robot without re-registering."""
+        np.savez(
+            path,
+            waypoints=np.asarray(self.waypoints, np.float32).reshape(-1, 4, 4),
+            fitness=np.asarray(
+                [r["fitness"] for r in self.instance_results], np.float32
+            ),
+            rmse=np.asarray(
+                [r["rmse"] for r in self.instance_results], np.float32
+            ),
+            instance_ids=np.asarray(
+                [r["instance_id"] for r in self.instance_results], np.int32
+            ),
+        )
+
+    @staticmethod
+    def load_results(path: str) -> dict:
+        data = np.load(path)
+        return {k: data[k] for k in data.files}
+
     def _scene_cloud(self, depth, rgb, K):
         """Stride-2 subsampled full-scene cloud for the viewer
         (pipeline.cpp:302-314)."""
