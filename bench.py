@@ -142,11 +142,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from tpu3d.ops.fpfh import compute_fpfh
     from tpu3d.ops.icp import icp_refine
-    from tpu3d.ops.normals import estimate_normals
     from tpu3d.ops.ransac import ransac_registration
-    from tpu3d.types import FPFHFeatures, PointCloud
+    from tpu3d.types import PointCloud
     from tpu3d.utils.timing import roundtrip_ms
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")

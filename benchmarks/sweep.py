@@ -49,6 +49,34 @@ def main():
     print(f"# backend={jax.default_backend()} roundtrip={rt:.1f}ms",
           file=sys.stderr)
 
+    # --- configs[1]: depth→cloud stage (640x480 frame) -----------------------
+    from tpu3d.models.procedural import generate_scene
+    from tpu3d.ops.deproject import deproject
+    from tpu3d.ops.depth import depth_preprocess
+    from tpu3d.ops.normals import estimate_normals
+    from tpu3d.ops.voxel import compact, voxel_downsample
+
+    rgb, depth, K = generate_scene(640, 480)
+    depth_d, rgb_d, K_d = jnp.asarray(depth), jnp.asarray(rgb), jnp.asarray(K)
+
+    def depth_stage():
+        d = depth_preprocess(depth_d, None, 1000.0, apply_mask=False)
+        cloud = deproject(d, rgb_d, K_d, 1.5)
+        down = voxel_downsample(cloud, jnp.float32(0.002))
+        down = compact(down, 65536)
+        return estimate_normals(down, k=30).normals
+
+    dt = _timed(depth_stage)
+    print(
+        json.dumps(
+            {
+                "config": "depth_to_cloud_640x480",
+                "ms": round(dt * 1000, 1),
+                "frames_per_sec": round(1 / dt, 1),
+            }
+        )
+    )
+
     # --- configs[2]: coarse alignment sweep ---------------------------------
     for n in (1024, 4096, 16384, 65536, 100352):
         src_np, tgt_np, R, t = make_pair(n, voxel=voxel)

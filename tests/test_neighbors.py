@@ -32,7 +32,9 @@ def test_knn_masks_invalid_targets(rng):
     idx, d2 = knn(jnp.asarray(q), jnp.asarray(t), jnp.asarray(mask), k=1,
                   chunk=16)
     np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(10))
-    np.testing.assert_allclose(np.asarray(d2)[:, 0], 0.0, atol=1e-7)
+    # matmul-expansion self-distance is ~0 up to f32 cancellation (larger
+    # ULP spread on TPU transcendental/accumulate paths)
+    np.testing.assert_allclose(np.asarray(d2)[:, 0], 0.0, atol=1e-6)
 
 
 def test_nearest_neighbor_xla_vs_pallas_interpret(rng):
@@ -61,8 +63,12 @@ def test_radius_capped_neighbors_semantics(rng):
     )
     idx, d2, valid = np.asarray(idx), np.asarray(d2), np.asarray(valid)
     for i in range(80):
-        exp = np.sum(np.sum((pts - pts[i]) ** 2, axis=1) <= radius**2)
-        assert valid[i].sum() == min(exp, 20)
-        assert idx[i, 0] == i and d2[i, 0] == 0  # self first at distance 0
+        ref_d2 = np.sum((pts - pts[i]) ** 2, axis=1)
+        # Count tolerance: points within 1e-6 of the radius boundary may
+        # flip sides under the device's d2 rounding.
+        exp_lo = np.sum(ref_d2 <= radius**2 - 1e-6)
+        exp_hi = np.sum(ref_d2 <= radius**2 + 1e-6)
+        assert min(exp_lo, 20) <= valid[i].sum() <= min(exp_hi, 20)
+        assert idx[i, 0] == i and d2[i, 0] < 1e-6  # self first at ~0
         got_d = d2[i][valid[i]]
         assert np.all(np.diff(got_d) >= -1e-6)  # ascending

@@ -26,7 +26,8 @@ def _bumpy(rng, n):
 
 @pytest.fixture(scope="module")
 def mesh():
-    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh (conftest default)")
     return make_mesh(("shard",))
 
 
@@ -95,6 +96,8 @@ def test_register_batch_recovers_poses(rng, mesh):
 
 def test_register_batch_sharded_over_mesh(rng):
     """Instances sharded across a mesh axis compile & run under jit."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
     tgt_pts = _bumpy(rng, 100)
     tgt = estimate_normals(PointCloud.from_numpy(tgt_pts, capacity=128), k=10)
     voxel = 0.01
