@@ -151,3 +151,24 @@ def test_icp_breaks_on_no_correspondences(rng):
     np.testing.assert_allclose(np.asarray(res.transformation), np.eye(4))
     assert float(res.fitness) == 0.0
     assert float(res.rmse) == 0.0
+
+
+def test_ransac_two_stage_matches_single_stage(rng):
+    tgt_pts = _bumpy_cloud(rng, 150)
+    R, t = _rigid(rng)
+    src_pts = ((tgt_pts - t) @ R).astype(np.float32)
+    tgt_normals = oracle.estimate_normals(tgt_pts, k=20)
+    tgt = PointCloud.from_numpy(tgt_pts, normals=tgt_normals, capacity=256)
+    src = estimate_normals(PointCloud.from_numpy(src_pts, capacity=256), k=20)
+    voxel = 0.01
+    sf = compute_fpfh(src, jnp.float32(voxel * 5))
+    tf = compute_fpfh(tgt, jnp.float32(voxel * 5))
+    a = ransac_registration(src, tgt, sf, tf, voxel, max_iterations=8192,
+                            seed=3, two_stage=False)
+    b = ransac_registration(src, tgt, sf, tf, voxel, max_iterations=8192,
+                            seed=3, two_stage=True)
+    # Same hypothesis set; the subsample can only reorder near-ties, so the
+    # winning poses must agree to registration accuracy.
+    np.testing.assert_allclose(np.asarray(a.transformation)[:3, 3],
+                               np.asarray(b.transformation)[:3, 3], atol=5e-3)
+    assert abs(float(a.fitness) - float(b.fitness)) < 0.05

@@ -60,7 +60,7 @@ def feature_correspondences(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iterations", "chunk"),
+    static_argnames=("max_iterations", "chunk", "two_stage"),
 )
 def ransac_registration(
     source: PointCloud,
@@ -72,7 +72,15 @@ def ransac_registration(
     confidence: float = 0.999,
     seed: int = 42,
     chunk: int = 512,
+    two_stage: str | bool = "auto",
 ) -> RegistrationResult:
+    """``two_stage``: score every hypothesis on a 16k-point subsample first,
+    then re-score only the top 1024 on all points (exact fitness/rmse for
+    the winner). Statistically safe — the subsample fitness estimate has
+    σ ≈ 0.4%, and 1024 finalists is a huge margin over that — but the
+    early-exit-prefix cutoff is evaluated on stage-1 estimates, a documented
+    delta vs the reference's exact sequential ordering. 'auto' enables it
+    when the cloud is ≥ 2x the subsample and there are > 4096 hypotheses."""
     voxel_size = jnp.asarray(voxel_size, jnp.float32)
     thr2 = (voxel_size * 1.5) ** 2  # registration.cpp:213, strict < on err
     n = source.capacity
@@ -119,47 +127,81 @@ def ransac_registration(
     )
     t_norm = jnp.sum(ts * ts, axis=1)
 
-    if jax.default_backend() == "tpu":
-        cnt, errsum = score_hypotheses_pallas(feat, pq_norm, w16, t_norm, thr2)
-    else:
+    def score_all(feat_s, pq_s, w_s, tn_s):
+        if jax.default_backend() == "tpu":
+            return score_hypotheses_pallas(feat_s, pq_s, w_s, tn_s, thr2)
 
         def score_chunk(args):
             wc, tc = args  # (C, 16), (C,)
-            err2 = feat @ wc.T + pq_norm[:, None] + tc[None, :]
+            err2 = feat_s @ wc.T + pq_s[:, None] + tc[None, :]
             inl = err2 < thr2
             return (
                 jnp.sum(inl.astype(jnp.float32), axis=0),
                 jnp.sum(jnp.where(inl, jnp.maximum(err2, 0.0), 0.0), axis=0),
             )
 
-        n_chunks = h_total // chunk
-        cnt, errsum = jax.lax.map(
+        hh = w_s.shape[0]
+        cc = min(chunk, hh)
+        n_chunks = hh // cc
+        c_, e_ = jax.lax.map(
             score_chunk,
-            (w16.reshape(n_chunks, chunk, 16),
-             t_norm.reshape(n_chunks, chunk)),
+            (w_s.reshape(n_chunks, cc, 16), tn_s.reshape(n_chunks, cc)),
         )
-        cnt = cnt.reshape(-1)
-        errsum = errsum.reshape(-1)
+        return c_.reshape(-1), e_.reshape(-1)
 
-    fitness = jnp.where(disabled, -1.0, cnt / jnp.maximum(n_valid, 1.0))
-    rmse = jnp.where(
-        cnt > 0, jnp.sqrt(errsum / jnp.maximum(cnt, 1.0)), 999.0
-    )
+    sub_n = 16384
+    finalists = 1024
+    if two_stage == "auto":
+        two_stage = n >= 2 * sub_n and h_total > 4 * finalists
 
-    # --- early-exit prefix semantics (registration.cpp:284-290) -------------
-    exceed = fitness > confidence
-    any_exceed = jnp.any(exceed)
-    first_exceed = jnp.argmax(exceed)  # first True (0 if none — guarded)
-    cutoff = jnp.where(any_exceed, first_exceed, h_total - 1)
-    allowed = h_ids <= cutoff
-    masked_fitness = jnp.where(allowed, fitness, -2.0)
-    best = jnp.argmax(masked_fitness)  # first of equals == reference strict >
+    if two_stage:
+        # Stage 1: estimate fitness on a random point subsample.
+        skey = jax.random.fold_in(key, 1)
+        rows = perm[jax.random.randint(skey, (sub_n,), 0, count)]
+        cnt1, _ = score_all(feat[rows], pq_norm[rows], w16, t_norm)
+        fit1 = jnp.where(disabled, -1.0, cnt1 / sub_n)
+        # Early-exit prefix on the estimates (registration.cpp:284-290).
+        exceed = fit1 > confidence
+        cutoff = jnp.where(jnp.any(exceed), jnp.argmax(exceed), h_total - 1)
+        allowed = h_ids <= cutoff
+        fit1 = jnp.where(allowed, fit1, -2.0)
+        # Stage 2: exact scoring of the finalists.
+        _, top_idx = jax.lax.top_k(fit1, finalists)
+        cnt2, err2sum = score_all(
+            feat, pq_norm, w16[top_idx], t_norm[top_idx]
+        )
+        fit2 = jnp.where(
+            fit1[top_idx] <= -1.0, -1.0, cnt2 / jnp.maximum(n_valid, 1.0)
+        )
+        best_f = jnp.argmax(fit2)
+        best = top_idx[best_f]
+        best_fitness = fit2[best_f]
+        best_rmse = jnp.where(
+            cnt2[best_f] > 0,
+            jnp.sqrt(err2sum[best_f] / jnp.maximum(cnt2[best_f], 1.0)),
+            999.0,
+        )
+    else:
+        cnt, errsum = score_all(feat, pq_norm, w16, t_norm)
+        fitness = jnp.where(disabled, -1.0, cnt / jnp.maximum(n_valid, 1.0))
+        rmse = jnp.where(
+            cnt > 0, jnp.sqrt(errsum / jnp.maximum(cnt, 1.0)), 999.0
+        )
+        # --- early-exit prefix semantics (registration.cpp:284-290) --------
+        exceed = fitness > confidence
+        any_exceed = jnp.any(exceed)
+        first_exceed = jnp.argmax(exceed)  # first True (0 if none — guarded)
+        cutoff = jnp.where(any_exceed, first_exceed, h_total - 1)
+        allowed = h_ids <= cutoff
+        masked_fitness = jnp.where(allowed, fitness, -2.0)
+        best = jnp.argmax(masked_fitness)  # first of equals == strict >
+        best_fitness = fitness[best]
+        best_rmse = rmse[best]
 
-    best_fitness = fitness[best]
     won = best_fitness > 0.0  # reference: must beat the 0-fitness default
     T = make_transform(Rs[best], ts[best])
     return RegistrationResult(
         transformation=jnp.where(won, T, jnp.eye(4, dtype=jnp.float32)),
         fitness=jnp.where(won, best_fitness, 0.0),
-        rmse=jnp.where(won, rmse[best], 0.0),
+        rmse=jnp.where(won, best_rmse, 0.0),
     )
