@@ -158,7 +158,7 @@ def ransac_registration(
         return c_.reshape(-1), e_.reshape(-1)
 
     sub_n = 16384
-    finalists = 1024
+    finalists = min(1024, h_total)
     if two_stage == "auto":
         two_stage = n >= 2 * sub_n and h_total > 4 * finalists
 
