@@ -73,6 +73,17 @@ class Pipeline:
         t0 = time.perf_counter()
         print(f"\n--- Processing instance {instance_id} ---")
         cfg = self.config
+        with self._compute_device():  # pool threads don't inherit run()'s
+            return self._process_instance_inner(
+                mask, depth_raw, rgb, K, ref_cloud, ref_features,
+                instance_id, t0,
+            )
+
+    def _process_instance_inner(
+        self, mask, depth_raw, rgb, K, ref_cloud, ref_features, instance_id,
+        t0,
+    ) -> Optional[np.ndarray]:
+        cfg = self.config
         try:
             if mask is not None and mask.shape != depth_raw.shape:
                 mask = resize_mask_nearest(mask, *depth_raw.shape)
@@ -170,8 +181,29 @@ class Pipeline:
             print(f"Instance {instance_id} error: {e}")
             return None
 
+    def _compute_device(self):
+        """``use_gpu=false`` pins compute to the host CPU backend — the
+        analog of the reference's per-call-site GPU gating
+        (pipeline.cpp:43-55). Returns a context manager."""
+        import contextlib
+
+        import jax
+
+        if self.config.use_gpu:
+            return contextlib.nullcontext()
+        try:
+            return jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:
+            print("use_gpu=false requested but no CPU backend is registered;"
+                  " using the default device")
+            return contextlib.nullcontext()
+
     # ------------------------------------------------------------------- run
     def run(self) -> List[np.ndarray]:
+        with self._compute_device():
+            return self._run()
+
+    def _run(self) -> List[np.ndarray]:
         t_start = time.perf_counter()
         print("\n=== Starting Pipeline ===")
         cfg = self.config
