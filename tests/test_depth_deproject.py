@@ -66,3 +66,22 @@ def test_deproject_clip_is_inclusive_of_max(rng):
     out = deproject(jnp.asarray(depth), None, jnp.asarray(K), 1.5)
     mask = np.asarray(out.mask)
     assert mask.tolist() == [True, False, False]  # z <= clip kept, z > clip dropped
+
+
+def test_bilateral_pallas_matches_xla():
+    """The kernel-form bilateral (whole frame in VMEM) is bit-identical to
+    the XLA unroll; exercised at a small size (the 720p kernel compiles but
+    takes minutes through remote Mosaic, hence XLA is the default path)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        import pytest
+
+        pytest.skip("Pallas bilateral only compiled on TPU")
+    rng = np.random.default_rng(0)
+    depth = rng.uniform(0.5, 1.5, size=(64, 128)).astype(np.float32)
+    a = np.asarray(bilateral_filter(jnp.asarray(depth), 2.0, 0.05,
+                                    use_pallas=True))
+    b = np.asarray(bilateral_filter(jnp.asarray(depth), 2.0, 0.05,
+                                    use_pallas=False))
+    np.testing.assert_array_equal(a, b)

@@ -55,13 +55,18 @@ def _bf_radius(sigma_spatial: float) -> int:
 
 
 def _bilateral_math(padded, h, w, radius, inv_spatial2, inv_range2):
-    """Shared unrolled window accumulation. ``padded`` is (h+2r, w+2r)."""
-    center = jax.lax.dynamic_slice(padded, (radius, radius), (h, w))
+    """Shared unrolled window accumulation. ``padded`` is (h+2r, w+2r).
+    All offsets are static Python ints, so plain slicing works in both the
+    XLA path and inside the Pallas kernel (where dynamic_slice-of-value is
+    not lowerable)."""
+    center = padded[radius : radius + h, radius : radius + w]
     sum_w = jnp.zeros((h, w), jnp.float32)
     sum_v = jnp.zeros((h, w), jnp.float32)
     for dy in range(-radius, radius + 1):
         for dx in range(-radius, radius + 1):
-            nb = jax.lax.dynamic_slice(padded, (radius + dy, radius + dx), (h, w))
+            nb = padded[
+                radius + dy : radius + dy + h, radius + dx : radius + dx + w
+            ]
             rd = nb - center
             wgt = jnp.exp(
                 (dx * dx + dy * dy) * inv_spatial2 + rd * rd * inv_range2
@@ -93,10 +98,12 @@ def bilateral_filter(
     inv_range2 = -0.5 / (sigma_range * sigma_range)
     padded = jnp.pad(depth.astype(jnp.float32), radius)
 
+    # Default: the XLA unroll — it fuses into one VPU pass and compiles in
+    # seconds. The whole-frame Pallas variant is functionally identical but
+    # Mosaic takes minutes to compile the 121-tap unroll at 720p; keep it
+    # opt-in (use_pallas=True) as the kernel-form reference.
     if use_pallas is None:
-        use_pallas = (
-            jax.default_backend() == "tpu" and padded.size * 4 <= 8 * 1024 * 1024
-        )
+        use_pallas = False
     if not use_pallas:
         return _bilateral_math(padded, h, w, radius, inv_spatial2, inv_range2)
 
