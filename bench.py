@@ -82,26 +82,39 @@ def measure_cpu_baseline(n_target: int, ransac_iters: int, icp_iters: int) -> di
     src, tgt, _, _ = make_pair(n_small, seed=3)
     times = {}
 
-    t0 = time.perf_counter()
-    normals = oracle.estimate_normals(tgt, k=30)
-    times["normals_small_s"] = time.perf_counter() - t0  # O(N²)
+    def best_of(fn, reps=3):
+        """min-of-N timing — single-shot small-sample timings vary ~2x with
+        host load, which would make vs_baseline noisy between runs."""
+        best = float("inf")
+        out = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        return best, out
 
-    t0 = time.perf_counter()
-    oracle.compute_fpfh(tgt[:400], normals[:400], 0.01)
-    times["fpfh_small_s"] = time.perf_counter() - t0  # O(N²) at n=400
+    times["normals_small_s"], normals = best_of(
+        lambda: oracle.estimate_normals(tgt, k=30)
+    )  # O(N²)
+
+    times["fpfh_small_s"], _ = best_of(
+        lambda: oracle.compute_fpfh(tgt[:400], normals[:400], 0.01)
+    )  # O(N²) at n=400
 
     # RANSAC: per-iteration cost is O(N) scoring; feature NN is O(N·M·33).
-    t0 = time.perf_counter()
-    for _ in range(200):
-        oracle.score_hypothesis(np.eye(3, dtype=np.float32),
-                                np.zeros(3, np.float32), src, tgt, 0.003)
-    times["ransac_200score_small_s"] = time.perf_counter() - t0
+    def score200():
+        for _ in range(200):
+            oracle.score_hypothesis(np.eye(3, dtype=np.float32),
+                                    np.zeros(3, np.float32), src, tgt, 0.003)
+
+    times["ransac_200score_small_s"], _ = best_of(score200)
 
     # ICP: one iteration is O(N·M) NN + solve.
-    t0 = time.perf_counter()
-    oracle.icp_refine(src, tgt, normals, np.eye(4, dtype=np.float32), 0.05,
-                      max_iterations=2, point_to_plane=True)
-    times["icp_2iter_small_s"] = time.perf_counter() - t0
+    times["icp_2iter_small_s"], _ = best_of(
+        lambda: oracle.icp_refine(src, tgt, normals,
+                                  np.eye(4, dtype=np.float32), 0.05,
+                                  max_iterations=2, point_to_plane=True)
+    )
 
     s = n_target / n_small
     est = {
