@@ -80,3 +80,21 @@ def test_icp_slab_matches_brute(rng):
         np.asarray(a.transformation), np.asarray(b.transformation), atol=1e-5
     )
     assert abs(float(a.fitness) - float(b.fitness)) < 1e-5
+
+
+def test_icp_grid_matches_brute(rng):
+    from tpu3d.ops.icp import icp_refine
+    from tpu3d.types import PointCloud
+
+    tgt_pts = _surface(rng, 4096)
+    src_pts = (tgt_pts + np.float32([0.003, -0.002, 0.004])).astype(np.float32)
+    src = PointCloud.from_numpy(src_pts, capacity=4096)
+    tgt = PointCloud.from_numpy(tgt_pts, capacity=4096)
+    T0 = jnp.eye(4)
+    a = icp_refine(src, tgt, T0, 0.02, max_iterations=10,
+                   point_to_plane=False, nn_mode="brute")
+    b = icp_refine(src, tgt, T0, 0.02, max_iterations=10,
+                   point_to_plane=False, nn_mode="grid")
+    np.testing.assert_allclose(
+        np.asarray(a.transformation), np.asarray(b.transformation), atol=1e-5
+    )

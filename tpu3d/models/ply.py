@@ -11,7 +11,6 @@ native extension is built (tpu3d/native); this file is the portable path.
 
 from __future__ import annotations
 
-import struct
 
 import numpy as np
 

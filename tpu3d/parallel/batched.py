@@ -15,13 +15,11 @@ instance in the batch is parity, not a shortcut.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpu3d.config import RegistrationConfig
 from tpu3d.ops.icp import icp_refine
 from tpu3d.ops.ransac import ransac_registration
 from tpu3d.types import FPFHFeatures, PointCloud, RegistrationResult

@@ -14,7 +14,6 @@ target index, identical to the single-chip kernel.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

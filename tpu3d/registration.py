@@ -16,8 +16,6 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-import jax
-
 from tpu3d.config import RegistrationConfig
 from tpu3d.ops.fpfh import compute_fpfh
 from tpu3d.ops.fused_features import fused_prepare_features
