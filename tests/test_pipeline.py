@@ -148,3 +148,21 @@ def test_filter_duplicates_semantics():
 
     out = filter_duplicates([T(1.0, 0, 0), T(1.05, 0, 0), T(1.11, 0, 0)], 0.1)
     assert len(out) == 2
+
+
+def test_cli_main(tmp_path, capsys):
+    """python -m tpu3d <config> surface (main.cpp:80-94 contract)."""
+    from tpu3d.__main__ import main
+
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(
+        "camera:\n  width: 320\n  height: 240\n"
+        "registration:\n  voxel_size: 0.005\n  ransac_max_iterations: 500\n"
+        "  icp_max_iterations: 10\n"
+        "use_camera: false\nuse_robot: false\nvisualization: \"none\"\n"
+    )
+    rc = main([str(cfg_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Config loaded from" in out
+    assert "Pipeline complete" in out
