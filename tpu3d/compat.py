@@ -32,11 +32,12 @@ class Registration:
 
     @staticmethod
     def estimateNormals(cloud: PointCloud, k: int = 30) -> PointCloud:
-        return estimate_normals(cloud, k=k)
+        # Reference-shaped API promises reference semantics → exact top-k.
+        return estimate_normals(cloud, k=k, method="exact")
 
     @staticmethod
     def computeFPFH(cloud: PointCloud, radius: float) -> FPFHFeatures:
-        return compute_fpfh(cloud, jnp.float32(radius))
+        return compute_fpfh(cloud, jnp.float32(radius), method="exact")
 
     @staticmethod
     def ransacRegistration(

@@ -60,9 +60,12 @@ def load_ply(path: str):
         props: list[tuple[str, str]] = []  # (name, type) of the vertex element
         in_vertex = False
         while True:
-            line = f.readline().decode("ascii", errors="replace").strip()
-            if not line and f.tell() == 0:
-                break
+            raw_line = f.readline()
+            if not raw_line:  # EOF before end_header: malformed/truncated
+                print(f"Malformed PLY header (no end_header): {path}",
+                      file=__import__("sys").stderr)
+                return np.zeros((0, 3), np.float32), None
+            line = raw_line.decode("ascii", errors="replace").strip()
             toks = line.split()
             if not toks:
                 continue
@@ -118,9 +121,10 @@ def load_ply(path: str):
             ).astype(np.float32)
             cols = None
             if has_color:
-                ri = "red" if "red" in names else "diffuse_red"
+                pre = "" if "red" in names else "diffuse_"
                 cols = np.stack(
-                    [raw[ri], raw["green"], raw["blue"]], axis=1
+                    [raw[pre + "red"], raw[pre + "green"], raw[pre + "blue"]],
+                    axis=1,
                 ).astype(np.float32)
 
         if cols is not None and cols.size and cols.max() > 1.0:

@@ -61,14 +61,22 @@ def _slice_candidates(slab, lo_b, len_b, slice_cap):
     return start, cand, cvalid
 
 
-@functools.partial(jax.jit, static_argnames=("slice_cap", "block"))
+@functools.partial(
+    jax.jit, static_argnames=("slice_cap", "block", "return_overflow")
+)
 def fused_prepare_features(
     cloud: PointCloud,
     radius,
     slice_cap: int = 8192,
     block: int = 256,
+    return_overflow: bool = False,
 ) -> tuple[PointCloud, FPFHFeatures]:
-    """Normals + FPFH for a cloud, fused slab sweeps, original row order."""
+    """Normals + FPFH for a cloud, fused slab sweeps, original row order.
+
+    ``return_overflow=True`` appends a bool scalar: True when some query
+    block's candidate slice exceeded ``slice_cap`` (neighborhoods truncated —
+    rerun with a larger cap). Host orchestration (prepare_cloud) checks it.
+    """
     r = jnp.asarray(radius, jnp.float32)
     r2 = r * r
     slab = build_slab(cloud.points, cloud.mask)
@@ -176,7 +184,7 @@ def fused_prepare_features(
     spfh_sorted = jax.lax.map(
         spfh_block, (qb, qn_blocks, lo, length)
     ).reshape(-1, 33)[:n]
-    spfh_padded = jnp.pad(spfh_sorted, ((0, 0), (0, 0)))  # (N, 33) slab order
+    spfh_padded = spfh_sorted  # (N, 33) slab order
 
     # ---- sweep C: FPFH = own + Σ spfh_j / dist (one MXU matmul per block) --
     def fpfh_block(args):
@@ -209,7 +217,10 @@ def fused_prepare_features(
     inv = jnp.argsort(slab.sorted_orig)
     normals = jnp.where(cloud.mask[:, None], normals_sorted[inv], 0.0)
     fpfh = jnp.where(cloud.mask[:, None], fpfh_sorted[inv], 0.0)
-    return (
+    out = (
         cloud._replace(normals=normals),
         FPFHFeatures(descriptors=fpfh, mask=cloud.mask),
     )
+    if return_overflow:
+        return out + (_overflow,)
+    return out

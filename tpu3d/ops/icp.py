@@ -47,7 +47,7 @@ from tpu3d.types import PointCloud, RegistrationResult
 @functools.partial(
     jax.jit,
     static_argnames=("max_iterations", "point_to_plane", "nn_mode",
-                     "cell_capacity"),
+                     "cell_capacity", "slice_cap"),
 )
 def icp_refine(
     source: PointCloud,

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpu3d.ops.precision import dot_bf16x3
+
 _SENTINEL = 1.0e6  # coordinate magnitude pushed onto invalid/padded targets
 _BIG = 1.0e30
 
@@ -46,18 +48,7 @@ def _nn_kernel(s_ref, t_ref, d_ref, i_ref, bd_ref, bi_ref, *, block_m: int,
     t = t_ref[:]  # (BM, 3)
     s = s_ref[:]  # (3, BN)
     if precision == "fast3":
-        # Manual bf16x3 (Mosaic lacks Precision.HIGH): hi·hi + hi·lo + lo·hi
-        # carries ~1e-7 relative accuracy at half the passes of HIGHEST.
-        t_hi = t.astype(jnp.bfloat16).astype(jnp.float32)
-        t_lo = (t - t_hi).astype(jnp.bfloat16)
-        s_hi = s.astype(jnp.bfloat16).astype(jnp.float32)
-        s_lo = (s - s_hi).astype(jnp.bfloat16)
-        dot = lambda a, b: jnp.dot(  # noqa: E731
-            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-        cross = dot(t_hi, s_hi) + dot(t_hi, s_lo) + dot(t_lo, s_hi)
+        cross = dot_bf16x3(t, s)
     else:
         cross = jnp.dot(
             t, s, preferred_element_type=jnp.float32, precision=precision

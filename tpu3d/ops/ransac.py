@@ -150,12 +150,16 @@ def ransac_registration(
 
         hh = w_s.shape[0]
         cc = min(chunk, hh)
-        n_chunks = hh // cc
+        pad_h = (-hh) % cc  # padded hypotheses score harmlessly (id transform)
+        if pad_h:
+            w_s = jnp.pad(w_s, ((0, pad_h), (0, 0)))
+            tn_s = jnp.pad(tn_s, (0, pad_h))
+        n_chunks = (hh + pad_h) // cc
         c_, e_ = jax.lax.map(
             score_chunk,
             (w_s.reshape(n_chunks, cc, 16), tn_s.reshape(n_chunks, cc)),
         )
-        return c_.reshape(-1), e_.reshape(-1)
+        return c_.reshape(-1)[:hh], e_.reshape(-1)[:hh]
 
     sub_n = 16384
     finalists = min(1024, h_total)

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpu3d.ops.precision import dot_bf16x3
+
 
 def _score_kernel(thr2_ref, feat_ref, pq_ref, w_ref, tn_ref,
                   cnt_ref, err_ref, acc_c, acc_e):
@@ -28,21 +30,9 @@ def _score_kernel(thr2_ref, feat_ref, pq_ref, w_ref, tn_ref,
         acc_c[:] = jnp.zeros_like(acc_c)
         acc_e[:] = jnp.zeros_like(acc_e)
 
-    # Manual bf16x3 (Mosaic lacks Precision.HIGH): ~f32-grade dot accuracy
-    # (~1e-7 relative) at half the MXU passes of HIGHEST — ample margin for
-    # the inlier compare at thr² ≈ 1e-5.
-    f = feat_ref[:]
-    w = w_ref[:]
-    f_hi = f.astype(jnp.bfloat16).astype(jnp.float32)
-    f_lo = (f - f_hi).astype(jnp.bfloat16)
-    w_hi = w.astype(jnp.bfloat16).astype(jnp.float32)
-    w_lo = (w - w_hi).astype(jnp.bfloat16)
-    dot = lambda a, b: jnp.dot(  # noqa: E731
-        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
-    )
-    cross = dot(f_hi, w_hi) + dot(f_hi, w_lo) + dot(f_lo, w_hi)  # (BN, BH)
+    # bf16x3: f32-grade dot accuracy at half the MXU passes of HIGHEST —
+    # ample margin for the inlier compare at thr² ≈ 1e-5.
+    cross = dot_bf16x3(feat_ref[:], w_ref[:])  # (BN, BH)
     err2 = cross + pq_ref[:] + tn_ref[:]  # (BN,1) + (1,BH) broadcasts
     inl = err2 < thr2_ref[0]
     acc_c[0, :] += jnp.sum(inl.astype(jnp.float32), axis=0)

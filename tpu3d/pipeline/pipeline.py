@@ -206,6 +206,7 @@ class Pipeline:
     def _run(self) -> List[np.ndarray]:
         t_start = time.perf_counter()
         print("\n=== Starting Pipeline ===")
+        self.instance_results = []  # fresh per run (save_results consistency)
         cfg = self.config
 
         rgb: Optional[np.ndarray] = None
@@ -223,6 +224,12 @@ class Pipeline:
                 return []
             rgb, depth = frame
             K = camera.get_intrinsics()
+            # Honor the device-reported depth unit. The reference reads it
+            # (camera.cpp:23-24) but then converts with the config scale
+            # anyway (pipeline.cpp:44-47) — a latent bug for cameras whose
+            # unit isn't 1 mm; here the live capture wins over the config.
+            if getattr(camera, "depth_scale", None):
+                cfg.depth.scale_to_meters = 1.0 / camera.depth_scale
             camera.disconnect()
         else:
             print("\n[1/5] Using dummy data...")

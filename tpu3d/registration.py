@@ -66,7 +66,9 @@ def surface_neighbors(
     if mode == "grid":
         grid = build_grid(cloud.points, cloud.mask, radius)
         return grid_knn(grid, cloud.points, k=k)
-    return knn(cloud.points, cloud.points, cloud.mask, k=k)
+    # 'brute' is the reference-parity path — force exact top-k (the knn
+    # default 'auto' would switch to approx_max_k on TPU at >= 8192 targets).
+    return knn(cloud.points, cloud.points, cloud.mask, k=k, method="exact")
 
 
 def prepare_cloud(
@@ -95,7 +97,15 @@ def prepare_cloud(
         neighbor_mode == "auto" and capacity >= 16384
     )
     if use_fused:
-        return fused_prepare_features(down, radius)
+        cloud_out, feats, overflow = fused_prepare_features(
+            down, radius, return_overflow=True
+        )
+        if bool(overflow):  # host sync — we already synced for the count
+            print(
+                "tpu3d: fused feature slice_cap overflow — neighborhoods were"
+                " truncated; rerun with a larger slice_cap"
+            )
+        return cloud_out, feats
     nbrs = surface_neighbors(down, radius, k=100, mode=neighbor_mode)
     down = estimate_normals(down, k=30, neighbors=nbrs)
     features = compute_fpfh(down, radius, neighbors=nbrs)
