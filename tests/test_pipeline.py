@@ -166,3 +166,15 @@ def test_cli_main(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Config loaded from" in out
     assert "Pipeline complete" in out
+
+
+def test_pipeline_with_bilateral_filter():
+    """depth.bilateral_filter=true end to end — live behavior for the
+    reference's dead-code flag (SURVEY §2.4)."""
+    cfg = _demo_config()
+    cfg.depth.bilateral_filter = True
+    cfg.registration.ransac_max_iterations = 500
+    cfg.registration.icp_max_iterations = 5
+    pipe = Pipeline(cfg, sleep_fn=lambda s: None)
+    waypoints = pipe.run()
+    assert len(waypoints) == 1
