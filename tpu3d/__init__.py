@@ -22,6 +22,7 @@ from tpu3d.registration import (
     bucket_capacity,
     prepare_cloud,
     register_pair,
+    register_pair_multiscale,
     register_prepared,
 )
 from tpu3d.types import FPFHFeatures, PointCloud, RegistrationResult
@@ -38,6 +39,7 @@ __all__ = [
     "load_config",
     "prepare_cloud",
     "register_pair",
+    "register_pair_multiscale",
     "register_prepared",
     "__version__",
 ]

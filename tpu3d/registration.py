@@ -153,3 +153,62 @@ def register_pair(
     src_down, src_feat = prepare_cloud(source, config)
     tgt_down, tgt_feat = prepare_cloud(target, config)
     return register_prepared(src_down, tgt_down, src_feat, tgt_feat, config)
+
+
+def register_pair_multiscale(
+    source: PointCloud,
+    target: PointCloud,
+    config: Optional[RegistrationConfig] = None,
+    levels: int = 2,
+    scale_step: float = 3.0,
+) -> tuple[RegistrationResult, RegistrationResult]:
+    """Coarse-to-fine registration (capability beyond the reference).
+
+    Runs RANSAC once at the coarsest voxel level, then refines with ICP
+    through progressively finer voxel sizes (each level warm-starts the
+    next, with a threshold proportional to its voxel). Sturdier than a
+    single-level run when the initial misalignment is large relative to the
+    fine voxel size, and cheaper: the expensive FPFH+RANSAC stage sees the
+    small coarse cloud only. Returns (refined at the finest level, coarse).
+    """
+    import dataclasses
+
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    if config is None:
+        config = RegistrationConfig()
+    voxels = [
+        config.voxel_size * scale_step**i for i in reversed(range(levels))
+    ]  # coarsest → finest
+
+    coarse_cfg = dataclasses.replace(config, voxel_size=voxels[0])
+    src_c, sf_c = prepare_cloud(source, coarse_cfg)
+    tgt_c, tf_c = prepare_cloud(target, coarse_cfg)
+    coarse = ransac_registration(
+        src_c, tgt_c, sf_c, tf_c, voxels[0],
+        max_iterations=config.ransac_max_iterations,
+        confidence=config.ransac_confidence,
+        seed=config.ransac_seed,
+    )
+    T = coarse.transformation
+    refined = coarse
+    finest = voxels[-1]
+    for voxel in voxels:
+        lvl_cfg = dataclasses.replace(config, voxel_size=voxel)
+        down = voxel_downsample(source, voxel)
+        src_l = compact(down, bucket_capacity(max(int(down.count()), 1)))
+        tgt_l, _ = prepare_cloud(target, lvl_cfg)  # normals for p2plane
+        # Coarse levels use a generous threshold (1x voxel) to capture the
+        # remaining misalignment; the finest level applies the reference's
+        # icp_distance_factor semantics.
+        factor = config.icp_distance_factor if voxel == finest else 1.0
+        refined = icp_refine(
+            src_l,
+            tgt_l,
+            T,
+            voxel * factor,
+            max_iterations=config.icp_max_iterations,
+            point_to_plane=config.use_point_to_plane,
+        )
+        T = refined.transformation
+    return refined, coarse
