@@ -126,3 +126,22 @@ def test_register_batch_sharded_over_mesh(rng):
     )
     assert np.asarray(refined.transformation).shape == (8, 4, 4)
     assert np.all(np.isfinite(np.asarray(refined.transformation)))
+
+
+def test_icp_sharded_matches_single_chip(rng, mesh):
+    from tpu3d.ops.icp import icp_refine
+    from tpu3d.parallel.icp_sharded import icp_refine_sharded
+
+    tgt_pts = _bumpy(rng, 8 * 64)  # divisible by the 8-way shard axis
+    src_pts = (tgt_pts + np.float32([0.004, -0.003, 0.005])).astype(np.float32)
+    src = PointCloud.from_numpy(src_pts, capacity=512)
+    tgt = PointCloud.from_numpy(tgt_pts, capacity=512)
+    T0 = jnp.eye(4)
+    a = icp_refine(src, tgt, T0, 0.03, max_iterations=15,
+                   point_to_plane=False, nn_mode="brute")
+    b = icp_refine_sharded(src, tgt, T0, 0.03, mesh=mesh,
+                           max_iterations=15, point_to_plane=False)
+    np.testing.assert_allclose(
+        np.asarray(a.transformation), np.asarray(b.transformation), atol=1e-5
+    )
+    assert abs(float(a.fitness) - float(b.fitness)) < 1e-5
