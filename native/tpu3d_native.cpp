@@ -72,6 +72,12 @@ class ThreadPool {
     ++in_flight_;
     {
       std::unique_lock<std::mutex> lock(mu_);
+      if (stop_) {
+        // Parity with the reference pool, which throws on enqueue after
+        // stop (include/thread_pool.hpp:72-74).
+        --in_flight_;
+        throw std::runtime_error("enqueue on stopped ThreadPool");
+      }
       tasks_.push(std::move(f));
     }
     cv_.notify_one();
@@ -94,17 +100,22 @@ class ThreadPool {
 
 struct PlyProp {
   std::string name;
-  int size;     // bytes
-  bool integer; // integer type (needs int->float conversion)
+  int size;       // bytes
+  bool integer;   // integer type (needs int->float conversion)
+  bool is_signed; // signed integer (needs sign extension)
 };
 
-int type_size(const std::string& t, bool* integer) {
+int type_size(const std::string& t, bool* integer, bool* is_signed) {
   *integer = true;
+  *is_signed = false;
   if (t == "float" || t == "float32") { *integer = false; return 4; }
   if (t == "double" || t == "float64") { *integer = false; return 8; }
-  if (t == "uchar" || t == "uint8" || t == "char" || t == "int8") return 1;
-  if (t == "ushort" || t == "uint16" || t == "short" || t == "int16") return 2;
-  if (t == "uint" || t == "uint32" || t == "int" || t == "int32") return 4;
+  if (t == "char" || t == "int8") { *is_signed = true; return 1; }
+  if (t == "short" || t == "int16") { *is_signed = true; return 2; }
+  if (t == "int" || t == "int32") { *is_signed = true; return 4; }
+  if (t == "uchar" || t == "uint8") return 1;
+  if (t == "ushort" || t == "uint16") return 2;
+  if (t == "uint" || t == "uint32") return 4;
   return -1;
 }
 
@@ -113,9 +124,15 @@ double read_prop(const unsigned char* p, const PlyProp& prop) {
     if (prop.size == 4) { float v; std::memcpy(&v, p, 4); return v; }
     double v; std::memcpy(&v, p, 8); return v;
   }
-  // Integer widths 1/2/4 — the loader only needs coordinate/color values,
-  // all non-negative in practice; read as unsigned like the reference's
-  // `file >> float` would coerce.
+  if (prop.is_signed) {
+    // Sign-extend by declared width so negative integer coordinates load
+    // correctly (matches the Python fallback parser).
+    switch (prop.size) {
+      case 1: { int8_t v; std::memcpy(&v, p, 1); return v; }
+      case 2: { int16_t v; std::memcpy(&v, p, 2); return v; }
+      default: { int32_t v; std::memcpy(&v, p, 4); return v; }
+    }
+  }
   uint32_t v = 0;
   std::memcpy(&v, p, prop.size);
   return static_cast<double>(v);
@@ -159,10 +176,10 @@ int t3d_load_ply(const char* path, float** points, float** colors, int* n) {
       std::string type, name;
       ss >> type >> name;
       if (type == "list") continue;  // not a vertex scalar
-      bool integer;
-      int size = type_size(type, &integer);
+      bool integer, is_signed;
+      int size = type_size(type, &integer, &is_signed);
       if (size < 0) return 2;
-      props.push_back({name, size, integer});
+      props.push_back({name, size, integer, is_signed});
     } else if (tok == "end_header") {
       break;
     }

@@ -81,32 +81,52 @@ def load_ply(path: str):
                 break
 
         names = [p[0] for p in props]
-        has_color = any(
-            n in ("red", "diffuse_red") for n in names
-        )  # registration.cpp:434-436 substring detection, made exact
+        # registration.cpp:434-436 substring detection, made exact — and
+        # gated on the full rgb triple actually being declared (the
+        # reference assumes green/blue follow red; we look them up by name).
+        _pre = "" if "red" in names else (
+            "diffuse_" if "diffuse_red" in names else None
+        )
+        has_color = _pre is not None and all(
+            _pre + c in names for c in ("green", "blue")
+        )
         if not props:  # reference-grade fallback: assume x y z (r g b)
             names = ["x", "y", "z"]
             props = [("x", "float"), ("y", "float"), ("z", "float")]
 
         if fmt == "ascii":
-            pts = np.zeros((vertex_count, 3), np.float32)
-            cols = np.zeros((vertex_count, 3), np.float32) if has_color else None
-            data = f.read().split()
+            cols = None
             stride = len(props)
-            col_idx = [
-                names.index(n)
-                for n in ("red", "diffuse_red", "green", "blue")
-                if n in names
-            ]
             xi, yi, zi = names.index("x"), names.index("y"), names.index("z")
-            vals = np.asarray(data[: vertex_count * stride], dtype=np.float32)
-            vals = vals.reshape(vertex_count, stride)
-            pts[:, 0], pts[:, 1], pts[:, 2] = vals[:, xi], vals[:, yi], vals[:, zi]
-            if has_color:
-                ri = names.index("red") if "red" in names else names.index(
-                    "diffuse_red"
+            body = f.read()
+            data = body.split()
+            if len(data) == vertex_count * stride:
+                vals = np.asarray(data, dtype=np.float32).reshape(
+                    vertex_count, stride
                 )
-                cols = vals[:, ri : ri + 3].astype(np.float32)
+            else:
+                # Lines carry extra (or missing) tokens beyond the declared
+                # properties — parse per line like the reference
+                # (registration.cpp:440-451 reads exactly the leading fields
+                # of each vertex line and ignores trailing extras).
+                vals = np.zeros((vertex_count, stride), np.float32)
+                lines = body.splitlines()
+                row = 0
+                for ln in lines:
+                    t = ln.split()
+                    if not t:
+                        continue
+                    if row >= vertex_count:
+                        break
+                    take = min(len(t), stride)
+                    vals[row, :take] = [float(v) for v in t[:take]]
+                    row += 1
+            pts = np.stack(
+                [vals[:, xi], vals[:, yi], vals[:, zi]], axis=1
+            ).astype(np.float32)
+            if has_color:
+                ci = [names.index(_pre + c) for c in ("red", "green", "blue")]
+                cols = vals[:, ci].astype(np.float32)
         else:
             little = "little" in fmt
             rec = np.dtype(
@@ -121,9 +141,8 @@ def load_ply(path: str):
             ).astype(np.float32)
             cols = None
             if has_color:
-                pre = "" if "red" in names else "diffuse_"
                 cols = np.stack(
-                    [raw[pre + "red"], raw[pre + "green"], raw[pre + "blue"]],
+                    [raw[_pre + "red"], raw[_pre + "green"], raw[_pre + "blue"]],
                     axis=1,
                 ).astype(np.float32)
 

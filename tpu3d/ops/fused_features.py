@@ -1,20 +1,38 @@
 """Fused slab-sweep surface features: normals + FPFH with NO top-k.
 
 The gather-based prepare path (slab_knn → estimate_normals → compute_fpfh)
-is bottlenecked by XLA's per-row top-k (measured 736 ms of a 1.2 s pair at
-100k points — the selection, not the distances). This module removes the
-selection entirely: every stage is a reduction over the (query-block ×
-candidate-slice) plane, so nothing per-neighbor is ever materialized.
+is bottlenecked by XLA's per-row top-k. This module removes the selection
+entirely: every stage is a reduction over the (query-block × candidate)
+plane, so nothing per-neighbor is ever materialized.
 
-Three sweeps over the slab blocks (ops/slab.py layout):
-  A. normals   — radius-limited PCA via moment matmuls on the MXU:
-                 Σ mask·p and Σ mask·(p⊗p) per query (K = slice width),
-                 then the closed-form smallest eigenvector. Block-centered
-                 coordinates keep f32 cancellation in check.
-  B. SPFH      — Darboux angles computed on (block × slice) planes, 33-bin
-                 histogram accumulated as 33 masked reductions.
-  C. FPFH      — fpfh_i = spfh_i + Σ_j spfh_j / dist_ij as one
-                 (block × slice) x (slice × 33) MXU matmul per block.
+v2 design (this file), after round-1 profiling showed the SPFH sweep's
+33 sequential masked VPU reductions + elementwise Darboux cross products
+dominated (~60 of 70-96 ms at 100k points):
+
+  * **Dynamic sub-tile loop.** Each query block scans its slab window in
+    ``ceil(len_b / sub)`` sub-tiles of ``sub`` contiguous candidates via
+    ``lax.fori_loop`` with a *traced* trip count — per-block work now
+    scales with the actual slab occupancy instead of a static worst-case
+    slice cap, and the sweeps are radius-EXACT unconditionally (no
+    overflow/truncation state exists anymore).
+  * **MXU Darboux angles.** All pairwise angle numerators are bilinear in
+    per-point features, so they ride the MXU as one batched matmul
+    instead of ~30 elementwise VPU ops per pair:
+        c      = n_i·n_j
+        e·d    = (p_j−p_i)·n_j = a_j − c_i·n_j    (a_j = c_j·n_j)
+        alpha·d = det[n_i, p_j−p_i, n_j] = n_i·b_j + b_i·n_j
+                  (b = (p−ctr)×n, translation-invariant via the shared
+                   block center ctr)
+        phi·d  = n_i·(p_j−p_i)                     (elementwise on the
+                  dx/dy/dz planes already produced for d²)
+    with theta = atan2(phi·c − e, c) — the w-axis dot collapses by the
+    Lagrange identity, removing both cross products.
+  * **Cumulative-compare histograms.** bin = clamp(floor((x+1)·5.5),0,10)
+    becomes 10 threshold compares per angle: cum_b = Σ cf·[x ≥ b/5.5−1],
+    hist_b = cum_b − cum_{b+1} — no floor/clamp/int-convert per pair and
+    3 fewer passes per bin.
+  * d² stays elementwise (exact): the self-pair must hit exactly 0 so the
+    reference's dist < 1e-8 skip (registration.cpp:142-146) keeps working.
 
 Semantics vs the reference: neighborhoods are radius-exact (ALL points
 within radius contribute) instead of radius-capped-at-100
@@ -37,81 +55,134 @@ from tpu3d.types import FPFHFeatures, PointCloud
 
 _BIG = jnp.float32(1e30)
 
-
-def _block_setup(slab: SlabIndex, radius, slice_cap: int, block: int):
-    pts = slab.sorted_points  # queries == targets, slab order
-    n = pts.shape[0]
-    pad = (-n) % block
-    qp = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=2.9e4)
-    qb = qp.reshape(-1, block, 3)
-    lo, length = _block_slices(slab, qb[..., 0], radius)
-    overflow = jnp.any(length > slice_cap)
-    return qb, lo, length, overflow, n
+# Bin thresholds: floor((x+1)*5.5) >= b  <=>  x >= b/5.5 - 1, b = 1..10.
+_BIN_THRESH = tuple(b / 5.5 - 1.0 for b in range(1, 11))
 
 
-def _slice_candidates(slab, lo_b, len_b, slice_cap):
-    m = slab.sorted_points.shape[0]
-    start = jnp.clip(lo_b, 0, jnp.maximum(m - slice_cap, 0))
-    cand = jax.lax.dynamic_slice(
-        slab.sorted_points_t, (0, start), (3, slice_cap)
-    )
-    cvalid = jax.lax.dynamic_slice(
-        slab.valid_sorted, (start,), (slice_cap,)
-    ) & (start + jnp.arange(slice_cap) < lo_b + len_b)
-    return start, cand, cvalid
+def _bdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched (G,B,K)x(G,K,S)->(G,B,S) matmul in manual bf16x3 (~1e-7
+    relative, half the MXU passes of HIGHEST — see ops/precision.py)."""
+    dn = (((2,), (1,)), ((0,), (0,)))
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), y.astype(jnp.bfloat16), dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    b_lo = b - b_hi
+    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+
+
+def _subtile_scan(m, lo_b, eff_b, sub, init, tile_fn):
+    """Run ``tile_fn(start, valid_fn, acc)`` over ceil(eff/sub) sub-tiles of
+    the slab window [lo_b, lo_b+eff_b). ``start`` is clamped into [0, m-sub];
+    ``valid_fn`` masks each slice row to exactly the rows this sub-tile OWNS
+    (absolute-row test), so clamping never double-counts."""
+    n_sub = (eff_b + sub - 1) // sub
+    col = jnp.arange(sub)
+
+    def body(t, acc):
+        own_lo = lo_b + t * sub
+        own_hi = lo_b + jnp.minimum(eff_b, (t + 1) * sub)
+        start = jnp.clip(own_lo, 0, m - sub)
+        row = start + col
+
+        def valid(valid_sorted):
+            vs = jax.lax.dynamic_slice(valid_sorted, (start,), (sub,))
+            return vs & (row >= own_lo) & (row < own_hi)
+
+        return tile_fn(start, valid, acc)
+
+    return jax.lax.fori_loop(0, n_sub, body, init)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("slice_cap", "block", "return_overflow")
+    jax.jit,
+    static_argnames=("slice_cap", "block", "sub", "return_overflow"),
 )
 def fused_prepare_features(
     cloud: PointCloud,
     radius,
-    slice_cap: int = 8192,
+    slice_cap: int | None = None,
     block: int = 256,
+    sub: int = 512,
     return_overflow: bool = False,
 ) -> tuple[PointCloud, FPFHFeatures]:
     """Normals + FPFH for a cloud, fused slab sweeps, original row order.
 
-    ``return_overflow=True`` appends a bool scalar: True when some query
-    block's candidate slice exceeded ``slice_cap`` (neighborhoods truncated —
-    rerun with a larger cap). Host orchestration (prepare_cloud) checks it.
+    ``slice_cap`` optionally truncates each block's candidate window (None =
+    exact, the default — the dynamic sub-tile loop makes exactness free).
+    ``return_overflow`` appends a bool scalar: True when truncation was
+    active AND some window exceeded it (kept for API compatibility; always
+    False when slice_cap is None).
     """
     r = jnp.asarray(radius, jnp.float32)
     r2 = r * r
     slab = build_slab(cloud.points, cloud.mask)
-    slice_cap = min(slice_cap, slab.sorted_points.shape[0])
-    qb, lo, length, _overflow, n = _block_setup(slab, r, slice_cap, block)
+    m = slab.sorted_points.shape[0]
+    sub = min(sub, m)
+    pts_t = slab.sorted_points_t  # (3, M) slab order
 
-    # ---- sweep A: radius-PCA normals via MXU moments ----------------------
+    pts = slab.sorted_points
+    n = pts.shape[0]
+    pad = (-n) % block
+    qp = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=2.9e4)
+    qb = qp.reshape(-1, block, 3)  # (nb, B, 3)
+    lo, length = _block_slices(slab, qb[..., 0], r)
+    if slice_cap is not None:
+        overflow = jnp.any(length > slice_cap)
+        eff = jnp.minimum(length, slice_cap)
+    else:
+        overflow = jnp.bool_(False)
+        eff = length
+    nb = qb.shape[0]
+    # Absolute sorted row of each query (for exact self-pair exclusion the
+    # d² >= 1e-16 gate already provides; kept implicit — see sweep B).
+    col = jnp.arange(sub)
+
+    def d2_planes(qc, start):
+        """(B, sub) squared distances + the dx/dy/dz planes, exact f32."""
+        cand = jax.lax.dynamic_slice(pts_t, (0, start), (3, sub))
+        dx = cand[0][None, :] - qc[:, 0:1]
+        dy = cand[1][None, :] - qc[:, 1:2]
+        dz = cand[2][None, :] - qc[:, 2:3]
+        return cand, dx, dy, dz, dx * dx + dy * dy + dz * dz
+
+    # ---- sweep A: radius-PCA normals via MXU moments -----------------------
     def normals_block(args):
-        qc, lo_b, len_b = args  # (B,3), (), ()
-        start, cand, cvalid = _slice_candidates(slab, lo_b, len_b, slice_cap)
+        qc, lo_b, eff_b = args  # (B,3), (), ()
         center = jnp.mean(qc, axis=0)  # block-local origin for f32 range
-        c = cand - center[:, None]  # (3, L)
         q = qc - center  # (B, 3)
-        d2 = (
-            (q[:, 0:1] - c[0][None, :]) ** 2
-            + (q[:, 1:2] - c[1][None, :]) ** 2
-            + (q[:, 2:3] - c[2][None, :]) ** 2
+
+        def tile(start, valid, acc):
+            mom, cnt = acc
+            cand, dx, dy, dz, d2 = d2_planes(qc, start)
+            w = jnp.where(valid(slab.valid_sorted)[None, :] & (d2 <= r2),
+                          1.0, 0.0)  # (B, sub)
+            c = cand - center[:, None]  # (3, sub)
+            feats = jnp.concatenate(
+                [
+                    c,  # x y z
+                    c * c,  # x² y² z²
+                    jnp.stack([c[0] * c[1], c[0] * c[2], c[1] * c[2]]),
+                ],
+                axis=0,
+            )  # (9, sub)
+            dm = _bdot(w[None], feats.T[None])[0]  # (B, 9)
+            return mom + dm, cnt + jnp.sum(w, axis=1)
+
+        mom, cnt = _subtile_scan(
+            m, lo_b, eff_b, sub,
+            (jnp.zeros((block, 9), jnp.float32),
+             jnp.zeros((block,), jnp.float32)),
+            tile,
         )
-        w = jnp.where(cvalid[None, :] & (d2 <= r2), 1.0, 0.0)  # (B, L)
-        cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)  # (B,)
-        # First and second moments via MXU (K = L contraction).
-        feats = jnp.concatenate(
-            [
-                c,  # x y z                                  (3, L)
-                c * c,  # x² y² z²                            (3, L)
-                jnp.stack([c[0] * c[1], c[0] * c[2], c[1] * c[2]]),  # (3, L)
-            ],
-            axis=0,
-        )  # (9, L)
-        mom = jax.lax.dot_general(
-            w, feats,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (B, 9)
+        cnt = jnp.maximum(cnt, 1.0)
         mu = mom[:, :3] / cnt[:, None]
         exx, eyy, ezz = mom[:, 3] / cnt, mom[:, 4] / cnt, mom[:, 5] / cnt
         exy, exz, eyz = mom[:, 6] / cnt, mom[:, 7] / cnt, mom[:, 8] / cnt
@@ -131,86 +202,145 @@ def fused_prepare_features(
         flip = jnp.sum(nrm * (-qc), axis=-1) < 0  # toward viewpoint/origin
         return jnp.where(flip[:, None], -nrm, nrm)
 
-    normals_sorted = jax.lax.map(normals_block, (qb, lo, length)).reshape(
+    normals_sorted = jax.lax.map(normals_block, (qb, lo, eff)).reshape(
         -1, 3
     )[:n]
     normals_t = normals_sorted.T  # (3, N) slab order
+    # Per-point cross feature for the MXU alpha: b = p × n (raw, un-centered;
+    # the block center correction is applied per block/sub-tile below).
+    bxn_t = jnp.stack(
+        [
+            pts_t[1] * normals_t[2] - pts_t[2] * normals_t[1],
+            pts_t[2] * normals_t[0] - pts_t[0] * normals_t[2],
+            pts_t[0] * normals_t[1] - pts_t[1] * normals_t[0],
+        ]
+    )  # (3, N)
 
-    # ---- sweep B: SPFH histograms ------------------------------------------
+    # ---- sweep B: SPFH histograms (MXU angles + cumulative compares) -------
+    thr = jnp.asarray(_BIN_THRESH, jnp.float32)  # (10,)
+
     def spfh_block(args):
-        qc, qn, lo_b, len_b = args  # (B,3), (B,3), (), ()
-        start, cand, cvalid = _slice_candidates(slab, lo_b, len_b, slice_cap)
-        nj = jax.lax.dynamic_slice(normals_t, (0, start), (3, slice_cap))
-        dx = cand[0][None, :] - qc[:, 0:1]
-        dy = cand[1][None, :] - qc[:, 1:2]
-        dz = cand[2][None, :] - qc[:, 2:3]
-        d2 = dx * dx + dy * dy + dz * dz
-        contrib = cvalid[None, :] & (d2 <= r2) & (d2 >= 1e-16)
-        inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
-        hx, hy, hz = dx * inv_d, dy * inv_d, dz * inv_d  # d̂ planes
-        ux, uy, uz = qn[:, 0:1], qn[:, 1:2], qn[:, 2:3]  # (B, 1)
-        vx = uy * hz - uz * hy
-        vy = uz * hx - ux * hz
-        vz = ux * hy - uy * hx
-        wx = uy * vz - uz * vy
-        wy = uz * vx - ux * vz
-        wz = ux * vy - uy * vx
-        njx, njy, njz = nj[0][None, :], nj[1][None, :], nj[2][None, :]
-        alpha = vx * njx + vy * njy + vz * njz
-        phi = ux * hx + uy * hy + uz * hz
-        theta = jnp.arctan2(
-            wx * njx + wy * njy + wz * njz, ux * njx + uy * njy + uz * njz
+        qc, qn, lo_b, eff_b = args  # (B,3), (B,3), (), ()
+        center = jnp.mean(qc, axis=0)
+        ci = qc - center  # (B, 3) centered query coords
+        # Row features: [n_i | b̃_i] with b̃ = (p − ctr) × n.
+        bi = jnp.cross(ci, qn)  # (B, 3)
+        rows = jnp.stack(
+            [
+                jnp.concatenate([qn, jnp.zeros_like(qn)], axis=1),  # c = n·n
+                jnp.concatenate([ci, jnp.zeros_like(ci)], axis=1),  # c_i·n_j
+                jnp.concatenate([qn, bi], axis=1),  # alpha numerator
+            ]
+        )  # (3, B, 6)
+
+        def tile(start, valid, acc):
+            cum, cnt = acc
+            cand, dx, dy, dz, d2 = d2_planes(qc, start)
+            nj = jax.lax.dynamic_slice(normals_t, (0, start), (3, sub))
+            bj_raw = jax.lax.dynamic_slice(bxn_t, (0, start), (3, sub))
+            cj = cand - center[:, None]  # (3, sub)
+            # b̃_j = (p_j − ctr)×n_j = b_j − ctr×n_j (per-column, cheap).
+            bj = jnp.stack(
+                [
+                    bj_raw[0] - (center[1] * nj[2] - center[2] * nj[1]),
+                    bj_raw[1] - (center[2] * nj[0] - center[0] * nj[2]),
+                    bj_raw[2] - (center[0] * nj[1] - center[1] * nj[0]),
+                ]
+            )
+            aj = jnp.sum(cj * nj, axis=0)  # (sub,) = c_j·n_j
+            zeros = jnp.zeros_like(nj)
+            cols = jnp.stack(
+                [
+                    jnp.concatenate([nj, zeros], axis=0),  # n_j
+                    jnp.concatenate([nj, zeros], axis=0),  # n_j
+                    jnp.concatenate([bj, nj], axis=0),  # [b̃_j ; n_j]
+                ]
+            )  # (3, 6, sub)
+            mm = _bdot(rows, cols)  # (3, B, sub)
+            c = mm[0]  # n_i·n_j
+            pin = mm[1]  # c_i·n_j
+            anum = mm[2]  # alpha·d
+
+            contrib = (
+                valid(slab.valid_sorted)[None, :]
+                & (d2 <= r2)
+                & (d2 >= 1e-16)
+            )
+            inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
+            phi = (
+                qn[:, 0:1] * dx + qn[:, 1:2] * dy + qn[:, 2:3] * dz
+            ) * inv_d
+            e = (aj[None, :] - pin) * inv_d  # d̂·n_j
+            alpha = anum * inv_d
+            theta = jnp.arctan2(phi * c - e, c)
+
+            cf = contrib.astype(jnp.float32)
+            am = jnp.where(contrib, alpha, -_BIG)
+            pm = jnp.where(contrib, phi, -_BIG)
+            tm = jnp.where(contrib, theta * (1.0 / jnp.pi), -_BIG)
+            # 30 cumulative counts: Σ_j [x >= t_b] per angle per boundary.
+            parts = [
+                jnp.sum((x >= t).astype(jnp.float32), axis=1)
+                for x in (am, pm, tm)
+                for t in thr
+            ]
+            return cum + jnp.stack(parts, axis=1), cnt + jnp.sum(cf, axis=1)
+
+        cum, cnt = _subtile_scan(
+            m, lo_b, eff_b, sub,
+            (jnp.zeros((block, 30), jnp.float32),
+             jnp.zeros((block,), jnp.float32)),
+            tile,
         )
-        ba = jnp.clip(jnp.floor((alpha + 1.0) * 5.5), 0, 10).astype(jnp.int32)
-        bp = jnp.clip(jnp.floor((phi + 1.0) * 5.5), 0, 10).astype(jnp.int32)
-        bt = jnp.clip(
-            jnp.floor((theta / jnp.pi + 1.0) * 5.5), 0, 10
-        ).astype(jnp.int32)
-        cf = contrib.astype(jnp.float32)
-        cols = []
-        for b in range(11):  # 33 masked reductions, VPU-friendly planes
-            cols.append(jnp.sum(jnp.where(ba == b, cf, 0.0), axis=1))
-        for b in range(11):
-            cols.append(jnp.sum(jnp.where(bp == b, cf, 0.0), axis=1))
-        for b in range(11):
-            cols.append(jnp.sum(jnp.where(bt == b, cf, 0.0), axis=1))
-        hist = jnp.stack(cols, axis=1)  # (B, 33)
+        # hist_b = cum_b − cum_{b+1} per angle (cum_0 = count, cum_11 = 0).
+        cols_out = []
+        for a in range(3):
+            ca = cum[:, a * 10 : (a + 1) * 10]
+            cols_out.append(cnt[:, None] - ca[:, 0:1])
+            cols_out.append(ca[:, :-1] - ca[:, 1:])
+            cols_out.append(ca[:, -1:])
+        hist = jnp.concatenate(cols_out, axis=1)  # (B, 33)
         s = jnp.sum(hist, axis=1, keepdims=True)
         return jnp.where(s > 0, hist / jnp.maximum(s, 1e-30), hist)
 
     qn_blocks = jnp.pad(
-        normals_sorted, ((0, (-n) % block), (0, 0))
+        normals_sorted, ((0, pad), (0, 0))
     ).reshape(-1, block, 3)
     spfh_sorted = jax.lax.map(
-        spfh_block, (qb, qn_blocks, lo, length)
+        spfh_block, (qb, qn_blocks, lo, eff)
     ).reshape(-1, 33)[:n]
     spfh_padded = spfh_sorted  # (N, 33) slab order
 
-    # ---- sweep C: FPFH = own + Σ spfh_j / dist (one MXU matmul per block) --
+    # ---- sweep C: FPFH = own + Σ spfh_j / dist (one MXU matmul/sub-tile) ---
     def fpfh_block(args):
-        qc, qs, lo_b, len_b = args  # (B,3), (B,33)
-        start, cand, cvalid = _slice_candidates(slab, lo_b, len_b, slice_cap)
-        sj = jax.lax.dynamic_slice(spfh_padded, (start, 0), (slice_cap, 33))
-        dx = cand[0][None, :] - qc[:, 0:1]
-        dy = cand[1][None, :] - qc[:, 1:2]
-        dz = cand[2][None, :] - qc[:, 2:3]
-        d2 = dx * dx + dy * dy + dz * dz
-        contrib = cvalid[None, :] & (d2 <= r2) & (d2 >= 1e-16)
-        wgt = jnp.where(contrib, jax.lax.rsqrt(jnp.maximum(d2, 1e-24)), 0.0)
-        f = qs + jax.lax.dot_general(
-            wgt, sj,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        qc, qs, lo_b, eff_b = args  # (B,3), (B,33)
+
+        def tile(start, valid, f):
+            cand, dx, dy, dz, d2 = d2_planes(qc, start)
+            sj = jax.lax.dynamic_slice(spfh_padded, (start, 0), (sub, 33))
+            contrib = (
+                valid(slab.valid_sorted)[None, :]
+                & (d2 <= r2)
+                & (d2 >= 1e-16)
+            )
+            wgt = jnp.where(
+                contrib, jax.lax.rsqrt(jnp.maximum(d2, 1e-24)), 0.0
+            )
+            return f + _bdot(wgt[None], sj[None])[0]
+
+        f = qs + _subtile_scan(
+            m, lo_b, eff_b, sub,
+            jnp.zeros((block, 33), jnp.float32),
+            tile,
         )
         s = jnp.sum(f, axis=1, keepdims=True)
         return jnp.where(s > 0, f / jnp.maximum(s, 1e-30), f)
 
     qs_blocks = jnp.pad(
-        spfh_sorted, ((0, (-n) % block), (0, 0))
+        spfh_sorted, ((0, pad), (0, 0))
     ).reshape(-1, block, 33)
     fpfh_sorted = jax.lax.map(
-        fpfh_block, (qb, qs_blocks, lo, length)
+        fpfh_block, (qb, qs_blocks, lo, eff)
     ).reshape(-1, 33)[:n]
 
     # ---- back to original row order ----------------------------------------
@@ -222,5 +352,5 @@ def fused_prepare_features(
         FPFHFeatures(descriptors=fpfh, mask=cloud.mask),
     )
     if return_overflow:
-        return out + (_overflow,)
+        return out + (overflow,)
     return out

@@ -65,7 +65,11 @@ def _block_slices(slab: SlabIndex, qx_blocks: jnp.ndarray, radius):
     """(n_blocks,) slice starts + lengths for [min−r, max+r] per block."""
     r = jnp.asarray(radius, jnp.float32)
     lo = jnp.searchsorted(slab.sorted_x, jnp.min(qx_blocks, axis=1) - r)
-    hi = jnp.searchsorted(slab.sorted_x, jnp.max(qx_blocks, axis=1) + r)
+    # side='right' keeps targets at exactly x == block_max + radius inside
+    # the window, matching the inclusive d2 <= r2 gates downstream.
+    hi = jnp.searchsorted(
+        slab.sorted_x, jnp.max(qx_blocks, axis=1) + r, side="right"
+    )
     return lo.astype(jnp.int32), (hi - lo).astype(jnp.int32)
 
 

@@ -41,7 +41,12 @@ from tpu3d.ops.icp import icp_refine
 from tpu3d.ops.ransac import ransac_registration
 from tpu3d.ops.transforms import invert_transform
 from tpu3d.pipeline.dedup import filter_duplicates
-from tpu3d.registration import prepare_cloud
+from tpu3d.registration import (
+    downsample_bucketed,
+    prepare_cloud,
+    prepare_features,
+    resolve_neighbor_mode,
+)
 from tpu3d.types import PointCloud
 from tpu3d.viz.viewer import SceneViewer
 
@@ -54,6 +59,10 @@ class Pipeline:
         self.waypoints: List[np.ndarray] = []  # result of the last run()
         self.instance_results: List[dict] = []  # per-instance fitness/rmse/T
         self._forced_K: Optional[np.ndarray] = None  # test hook: override K
+        # One descriptor variant for the whole run (set when the reference
+        # model is prepared) so instance clouds never mix fused and gather
+        # FPFH against the model's.
+        self._neighbor_mode: str = "auto"
         print(
             f"Pipeline created (threads={config.num_threads},"
             f" accelerator={'on' if config.use_gpu else 'off'})"
@@ -120,6 +129,7 @@ class Pipeline:
                 cloud,
                 cfg.registration,
                 capacity=cfg.registration.max_points or None,
+                neighbor_mode=self._neighbor_mode,
             )
 
             coarse = ransac_registration(
@@ -140,15 +150,24 @@ class Pipeline:
             icp_threshold = (
                 cfg.registration.voxel_size * cfg.registration.icp_distance_factor
             )
-            refined = icp_refine(
-                source,
-                ref_cloud,
-                coarse.transformation,
-                icp_threshold,
-                max_iterations=cfg.registration.icp_max_iterations,
-                point_to_plane=cfg.registration.use_point_to_plane,
-            )
-            fitness = float(refined.fitness)
+            try:
+                refined = self._icp_accel(
+                    source, ref_cloud, coarse.transformation, icp_threshold
+                )
+                fitness = float(refined.fitness)  # sync — device faults
+                # surface here, not at some later host read
+            except Exception as icp_err:
+                # Accelerator-stage failure → host-backend retry, the analog
+                # of the reference's GPU-ICP try/catch → CPU fallback
+                # (pipeline.cpp:114-121).
+                print(
+                    f"Accelerator ICP failed ({icp_err}); retrying on the"
+                    " host backend"
+                )
+                refined = self._icp_host(
+                    source, ref_cloud, coarse.transformation, icp_threshold
+                )
+                fitness = float(refined.fitness)
             print(
                 f"ICP result: fitness={fitness:.4f},"
                 f" RMSE={float(refined.rmse):.6f}"
@@ -180,6 +199,42 @@ class Pipeline:
         except Exception as e:  # degrade like pipeline.cpp:146-149
             print(f"Instance {instance_id} error: {e}")
             return None
+
+    def _icp_accel(self, source, target, init_T, threshold):
+        """ICP on whatever backend is current (split out so tests can fault
+        the accelerator attempt and exercise the host retry)."""
+        cfg = self.config.registration
+        return icp_refine(
+            source,
+            target,
+            init_T,
+            threshold,
+            max_iterations=cfg.icp_max_iterations,
+            point_to_plane=cfg.use_point_to_plane,
+        )
+
+    def _icp_host(self, source, target, init_T, threshold):
+        """Host-backend ICP retry: inputs are pulled to host memory and the
+        computation is pinned to the CPU backend."""
+        import jax
+
+        cpu = jax.devices("cpu")[0]
+
+        def to_host(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(np.asarray(x), cpu), tree
+            )
+
+        cfg = self.config.registration
+        with jax.default_device(cpu):
+            return icp_refine(
+                to_host(source),
+                to_host(target),
+                to_host(jnp.asarray(init_T)),
+                threshold,
+                max_iterations=cfg.icp_max_iterations,
+                point_to_plane=cfg.use_point_to_plane,
+            )
 
     def _compute_device(self):
         """``use_gpu=false`` pins compute to the host CPU backend — the
@@ -279,10 +334,14 @@ class Pipeline:
                 print("Warning: Empty reference model. Registration may fail.")
             ref_raw = PointCloud.from_numpy(pts, colors=cols)
 
-        ref_cloud, ref_features = prepare_cloud(
+        ref_down = downsample_bucketed(
             ref_raw,
             cfg.registration,
             capacity=cfg.registration.max_points or None,
+        )
+        self._neighbor_mode = resolve_neighbor_mode(ref_down.capacity)
+        ref_cloud, ref_features = prepare_features(
+            ref_down, cfg.registration, self._neighbor_mode
         )
 
         if cfg.visualization != "none":

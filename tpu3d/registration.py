@@ -37,6 +37,39 @@ def bucket_capacity(count: int, minimum: int = 256) -> int:
     return cap
 
 
+# Capacity at which the fused radius-exact feature path takes over from the
+# gather (reference-parity) path when neighbor_mode='auto'. Pair-level
+# callers (register_pair, the pipeline) must resolve the mode ONCE from both
+# clouds — mixing descriptor variants across a pair corrupts feature
+# correspondences (the variants bin neighborhoods differently).
+FUSED_CAPACITY_THRESHOLD = 16384
+
+
+def resolve_neighbor_mode(*capacities: int) -> str:
+    """Pick one descriptor path for every cloud of a registration pair:
+    'fused' when any participant is at scale, else 'auto' (gather — exact
+    reference parity, and both sub-variants 'slab'/'brute' produce identical
+    descriptors)."""
+    return (
+        "fused"
+        if max(capacities) >= FUSED_CAPACITY_THRESHOLD
+        else "auto"
+    )
+
+
+def downsample_bucketed(
+    cloud: PointCloud,
+    config: RegistrationConfig,
+    capacity: Optional[int] = None,
+) -> PointCloud:
+    """Voxel downsample + compact to a power-of-two capacity bucket."""
+    down = voxel_downsample(cloud, config.voxel_size)
+    if capacity is None:
+        count = int(down.count())  # host sync at the stage boundary
+        capacity = bucket_capacity(max(count, 1))
+    return compact(down, capacity)
+
+
 def surface_neighbors(
     cloud: PointCloud, radius, k: int = 100, mode: str = "auto"
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -82,30 +115,33 @@ def prepare_cloud(
     reference model (pipeline.cpp:291-294): k=30 normals, FPFH radius =
     5 × voxel_size.
 
-    At scale (capacity ≥ 16384, or neighbor_mode='fused') the fused
-    slab-sweep path computes radius-exact normals+FPFH with no per-row
-    top-k (ops/fused_features.py) — ~10x faster AND more discriminative
-    than the reference's 100-capped neighborhoods; below that the
-    gather path keeps exact reference parity."""
-    down = voxel_downsample(cloud, config.voxel_size)
-    if capacity is None:
-        count = int(down.count())  # host sync at the stage boundary
-        capacity = bucket_capacity(max(count, 1))
-    down = compact(down, capacity)
+    At scale (capacity ≥ FUSED_CAPACITY_THRESHOLD, or
+    neighbor_mode='fused') the fused slab-sweep path computes radius-exact
+    normals+FPFH with no per-row top-k (ops/fused_features.py) — ~10x
+    faster AND more discriminative than the reference's 100-capped
+    neighborhoods; below that the gather path keeps exact reference parity.
+
+    NOTE: when registering a PAIR, resolve the mode once for both clouds
+    (``resolve_neighbor_mode``) — ``register_pair`` and the pipeline do."""
+    down = downsample_bucketed(cloud, config, capacity)
+    return prepare_features(down, config, neighbor_mode)
+
+
+def prepare_features(
+    down: PointCloud,
+    config: RegistrationConfig,
+    neighbor_mode: str = "auto",
+) -> tuple[PointCloud, FPFHFeatures]:
+    """Normals + FPFH on an already-downsampled, compacted cloud."""
+    capacity = down.capacity
     radius = jnp.float32(config.voxel_size * 5.0)
     use_fused = neighbor_mode == "fused" or (
-        neighbor_mode == "auto" and capacity >= 16384
+        neighbor_mode == "auto" and capacity >= FUSED_CAPACITY_THRESHOLD
     )
     if use_fused:
-        cloud_out, feats, overflow = fused_prepare_features(
-            down, radius, return_overflow=True
-        )
-        if bool(overflow):  # host sync — we already synced for the count
-            print(
-                "tpu3d: fused feature slice_cap overflow — neighborhoods were"
-                " truncated; rerun with a larger slice_cap"
-            )
-        return cloud_out, feats
+        # The dynamic sub-tile sweeps are radius-exact for any occupancy —
+        # no slice_cap/overflow handling exists anymore (fused_features v2).
+        return fused_prepare_features(down, radius)
     nbrs = surface_neighbors(down, radius, k=100, mode=neighbor_mode)
     down = estimate_normals(down, k=30, neighbors=nbrs)
     features = compute_fpfh(down, radius, neighbors=nbrs)
@@ -150,8 +186,13 @@ def register_pair(
     4x4 pose + fitness + rmse" API (BASELINE.json north_star)."""
     if config is None:
         config = RegistrationConfig()
-    src_down, src_feat = prepare_cloud(source, config)
-    tgt_down, tgt_feat = prepare_cloud(target, config)
+    src_down = downsample_bucketed(source, config)
+    tgt_down = downsample_bucketed(target, config)
+    # One descriptor variant for BOTH clouds — a pair straddling the fused
+    # threshold must not mix fused and gather descriptors.
+    mode = resolve_neighbor_mode(src_down.capacity, tgt_down.capacity)
+    src_down, src_feat = prepare_features(src_down, config, mode)
+    tgt_down, tgt_feat = prepare_features(tgt_down, config, mode)
     return register_prepared(src_down, tgt_down, src_feat, tgt_feat, config)
 
 
@@ -182,8 +223,11 @@ def register_pair_multiscale(
     ]  # coarsest → finest
 
     coarse_cfg = dataclasses.replace(config, voxel_size=voxels[0])
-    src_c, sf_c = prepare_cloud(source, coarse_cfg)
-    tgt_c, tf_c = prepare_cloud(target, coarse_cfg)
+    src_cd = downsample_bucketed(source, coarse_cfg)
+    tgt_cd = downsample_bucketed(target, coarse_cfg)
+    mode = resolve_neighbor_mode(src_cd.capacity, tgt_cd.capacity)
+    src_c, sf_c = prepare_features(src_cd, coarse_cfg, mode)
+    tgt_c, tf_c = prepare_features(tgt_cd, coarse_cfg, mode)
     coarse = ransac_registration(
         src_c, tgt_c, sf_c, tf_c, voxels[0],
         max_iterations=config.ransac_max_iterations,
