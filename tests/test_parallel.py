@@ -128,6 +128,32 @@ def test_register_batch_sharded_over_mesh(rng):
     assert np.all(np.isfinite(np.asarray(refined.transformation)))
 
 
+def test_slab_top1_sharded_matches_brute(rng, mesh):
+    from tpu3d.parallel.sharded_nn import (
+        build_slab_sharded,
+        slab_top1_sharded,
+    )
+
+    q = _bumpy(rng, 96)
+    t = _bumpy(rng, 8 * 64)
+    mask = np.ones(8 * 64, bool)
+    mask[480:] = False
+    radius = 0.05
+
+    sslab = build_slab_sharded(jnp.asarray(t), jnp.asarray(mask), mesh)
+    isd, dsd = slab_top1_sharded(sslab, jnp.asarray(q), radius, mesh)
+
+    ix, dx = nearest_neighbor_xla(jnp.asarray(q), jnp.asarray(t),
+                                  jnp.asarray(mask))
+    dx = np.asarray(dx)
+    in_r = dx <= radius * radius
+    np.testing.assert_allclose(
+        np.asarray(dsd)[in_r], dx[in_r], rtol=1e-4, atol=1e-7
+    )
+    agree = (np.asarray(isd)[in_r] == np.asarray(ix)[in_r]).mean()
+    assert agree > 0.98  # float near-ties only
+
+
 def test_icp_sharded_matches_single_chip(rng, mesh):
     from tpu3d.ops.icp import icp_refine
     from tpu3d.parallel.icp_sharded import icp_refine_sharded

@@ -98,3 +98,28 @@ def test_icp_grid_matches_brute(rng):
     np.testing.assert_allclose(
         np.asarray(a.transformation), np.asarray(b.transformation), atol=1e-5
     )
+
+
+def test_icp_slab_exact_on_degenerate_x(rng):
+    """Worst case for the slab: every point shares one x → every block's
+    window is the WHOLE target. Round 1 silently truncated at slice_cap;
+    the dynamic sub-tile sweep must stay exact (just slower)."""
+    from tpu3d.ops.icp import icp_refine
+    from tpu3d.types import PointCloud
+
+    n = 1024
+    yz = rng.uniform(-0.2, 0.2, size=(n, 2)).astype(np.float32)
+    tgt_pts = np.column_stack([np.zeros(n, np.float32), yz])
+    tgt_pts[:, 2] += 0.05 * np.sin(40 * tgt_pts[:, 1])
+    src_pts = (tgt_pts + np.float32([0.0, 0.003, -0.002])).astype(np.float32)
+    src = PointCloud.from_numpy(src_pts, capacity=n)
+    tgt = PointCloud.from_numpy(tgt_pts, capacity=n)
+    T0 = jnp.eye(4)
+    a = icp_refine(src, tgt, T0, 0.02, max_iterations=15,
+                   point_to_plane=False, nn_mode="brute")
+    b = icp_refine(src, tgt, T0, 0.02, max_iterations=15,
+                   point_to_plane=False, nn_mode="slab")
+    np.testing.assert_allclose(
+        np.asarray(a.transformation), np.asarray(b.transformation), atol=1e-5
+    )
+    assert abs(float(a.fitness) - float(b.fitness)) < 1e-5

@@ -17,121 +17,95 @@ untransformed-Jacobian quirk at icp.cu:109-111 is deliberately NOT copied):
       while the returned transformation is POST-update, faithfully kept;
     - converge when iter > 0 and |Δrmse| < 1e-6 (:406-409).
 
-TPU formulation: one ``lax.while_loop`` whose body runs the Pallas tiled
-top-1 NN kernel, builds the 6x6 normal equations with masked einsums
-(deterministic — replaces cuda/icp.cu:84-141's warp-shuffle + atomicAdd
-reductions), and solves on device. The host is never touched between
-iterations (the reference's per-iteration D2H of full correspondence arrays,
-gpu_impl.cpp:225-242, has no analog here).
+TPU formulation (v2): one ``lax.while_loop`` whose body reduces the whole
+correspondence problem to a handful of scalars WITHOUT materializing any
+per-point array. The shared loop (``icp_loop``) takes a pluggable
+``stats_fn(T) -> IcpStats``; two backends provide it:
+
+  * **fused slab sweep** (``nn_mode='slab'``, the at-scale path): per query
+    block, a dynamic sub-tile scan of the target's x-sorted slab window
+    finds each point's nearest target AND accumulates the block's partial
+    normal equations (6x6 JtJ / Jtr, or Kabsch moments) in the same pass —
+    matched points/normals are extracted with masked plane reductions, so
+    the loop performs ZERO global gathers and is radius-exact for any
+    occupancy (the round-1 slice_cap truncation + silent overflow are
+    gone).
+  * **gathered** (grid/brute modes, and the sharded-target backend in
+    tpu3d/parallel/icp_sharded.py): any top-1 correspondence function,
+    then masked einsums over the gathered matches.
+
+Both replace cuda/icp.cu:84-141's warp-shuffle + atomicAdd reductions with
+deterministic matmul/plane reductions; the host is never touched between
+iterations (the reference's per-iteration D2H of full correspondence
+arrays, gpu_impl.cpp:225-242, has no analog here).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from tpu3d.ops.grid import build_grid, grid_top1
 from tpu3d.ops.nn_pallas import nearest_neighbor
-from tpu3d.ops.slab import build_slab, slab_top1
+from tpu3d.ops.slab import SlabIndex, _block_slices, build_slab
 from tpu3d.ops.transforms import (
     euler_xyz_to_matrix,
-    kabsch,
+    kabsch_from_cross_cov,
     make_transform,
     transform_points,
 )
 from tpu3d.types import PointCloud, RegistrationResult
 
+_BIG = jnp.float32(1e30)
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("max_iterations", "point_to_plane", "nn_mode",
-                     "cell_capacity", "slice_cap"),
-)
-def icp_refine(
-    source: PointCloud,
-    target: PointCloud,
+
+class IcpStats(NamedTuple):
+    """Sufficient statistics of one correspondence pass.
+
+    p2plane: ata (6,6), atb (6,) populated; Kabsch stats zeros.
+    p2point: sw, sp/sq (3,) weighted coordinate sums, H (3,3) the
+    exact-mean-centered weighted cross-covariance; ata/atb zeros.
+    Always: n_corr (Σ inliers), sum_d2 (Σ inlier squared distances).
+    """
+
+    ata: jnp.ndarray
+    atb: jnp.ndarray
+    sw: jnp.ndarray
+    sp: jnp.ndarray
+    sq: jnp.ndarray
+    H: jnp.ndarray
+    n_corr: jnp.ndarray
+    sum_d2: jnp.ndarray
+
+
+def icp_loop(
+    stats_fn: Callable[[jnp.ndarray], IcpStats],
+    n_valid: jnp.ndarray,
     initial_transform: jnp.ndarray,
-    distance_threshold,
-    max_iterations: int = 200,
-    point_to_plane: bool = True,
-    nn_mode: str = "auto",
-    cell_capacity: int = 16,
-    slice_cap: int = 4096,
+    max_iterations: int,
+    point_to_plane: bool,
 ) -> RegistrationResult:
-    """``nn_mode`` selects the correspondence search, all EXACT for ICP's
-    semantics (matches beyond the threshold are rejected anyway,
-    registration.cpp:337-338):
-      'slab'  — x-sorted target + contiguous per-block slices (ops/slab.py);
-                O(N·L) per iteration, the fast path at scale. If a query
-                block's candidate slice overflows ``slice_cap`` a device-side
-                warning is printed and the result may drop far matches.
-      'grid'  — 27-cell bucket scan (ops/grid.py); exact, gather-heavy.
-      'brute' — tiled full scan (Pallas kernel on TPU).
-      'auto'  — slab for targets ≥ 4096 points, brute below."""
-    thr = jnp.asarray(distance_threshold, jnp.float32)
-    use_p2l = point_to_plane and target.normals is not None  # trace-time, like
-    # the reference's `point_to_plane && target.hasNormals()` (:343, :365)
-    n_valid = jnp.maximum(jnp.sum(source.mask.astype(jnp.float32)), 1.0)
-    src_pts = source.points.astype(jnp.float32)
-    smask = source.mask
-
-    if nn_mode == "auto":
-        nn_mode = "slab" if target.capacity >= 4096 else "brute"
-    # Structures are built ONCE and reused every iteration (the target
-    # never moves; only the source transform changes).
-    grid = build_grid(target.points, target.mask, thr) if nn_mode == "grid" else None
-    slab = build_slab(target.points, target.mask) if nn_mode == "slab" else None
-    if nn_mode == "slab":
-        # Re-order the source once by initial-transformed x so slab query
-        # blocks stay coherent for any input row order. Every ICP reduction
-        # (JtJ, Kabsch, fitness, rmse) is permutation-invariant, so no
-        # un-sorting is needed; ICP's refinements keep the order coherent.
-        x0 = transform_points(initial_transform.astype(jnp.float32), src_pts)[
-            :, 0
-        ]
-        order = jnp.argsort(jnp.where(smask, x0, jnp.float32(3e4)))
-        src_pts = src_pts[order]
-        smask = smask[order]
+    """The shared Gauss-Newton / Kabsch iteration driver."""
 
     def body(state):
         T, fitness, rmse, it, done = state
-        P = transform_points(T, src_pts)  # (N, 3)
-        if nn_mode == "slab":
-            # Overflow (slice_cap exceeded) silently drops the farthest-x
-            # candidates; callers needing a guarantee use the slab API
-            # directly and check the returned flag (device-side printing is
-            # not available on all PJRT platforms).
-            idx, d2, _overflow = slab_top1(slab, P, thr, slice_cap=slice_cap)
-        elif nn_mode == "grid":
-            idx, d2 = grid_top1(grid, P, cell_capacity=cell_capacity)
-        else:
-            idx, d2 = nearest_neighbor(P, target.points, target.mask)
-        keep = smask & (jnp.sqrt(d2) <= thr)  # inclusive, :337-338
-        wf = keep.astype(jnp.float32)
-        n_corr = jnp.sum(wf)
-        q = target.points[idx]
+        s = stats_fn(T)
 
-        if use_p2l:
-            nrm = target.normals[idx]
-            cross = jnp.cross(P, nrm)
-            J = jnp.concatenate([cross, nrm], axis=1)  # (N, 6)
-            r = jnp.sum((P - q) * nrm, axis=1)  # (N,)
-            Jw = J * wf[:, None]
-            ATA = Jw.T @ J  # (6, 6) — deterministic matmul reduction
-            ATb = Jw.T @ r[:, None]
-            x = jnp.linalg.solve(ATA, -ATb)[:, 0]
+        if point_to_plane:
+            x = jnp.linalg.solve(s.ata, -s.atb[:, None])[:, 0]
             delta = make_transform(euler_xyz_to_matrix(x[:3]), x[3:])
         else:
-            R, t = kabsch(P, q, weights=wf)
+            R, t = kabsch_from_cross_cov(s.sw, s.sp, s.sq, s.H)
             delta = make_transform(R, t)
 
         newT = delta @ T
-        new_rmse = jnp.sqrt(jnp.sum(d2 * wf) / jnp.maximum(n_corr, 1.0))
-        new_fit = n_corr / n_valid
+        new_rmse = jnp.sqrt(s.sum_d2 / jnp.maximum(s.n_corr, 1.0))
+        new_fit = s.n_corr / n_valid
 
-        abort = n_corr < 3.0  # break BEFORE updating anything (:361)
+        abort = s.n_corr < 3.0  # break BEFORE updating anything (:361)
         converged = (it > 0) & (jnp.abs(rmse - new_rmse) < 1e-6)
         return (
             jnp.where(abort, T, newT),
@@ -154,3 +128,282 @@ def icp_refine(
     )
     T, fitness, rmse, _, _ = jax.lax.while_loop(cond, body, init)
     return RegistrationResult(transformation=T, fitness=fitness, rmse=rmse)
+
+
+def _zeros_stats() -> dict:
+    return dict(
+        ata=jnp.zeros((6, 6), jnp.float32),
+        atb=jnp.zeros((6,), jnp.float32),
+        sw=jnp.float32(0.0),
+        sp=jnp.zeros((3,), jnp.float32),
+        sq=jnp.zeros((3,), jnp.float32),
+        H=jnp.zeros((3, 3), jnp.float32),
+    )
+
+
+def _p2p_stats(P, q, wf):
+    """Exact-mean-centered Kabsch statistics over full match arrays — the
+    same arithmetic as transforms.kabsch, split out so both stats backends
+    produce numerically identical p2point updates."""
+    sw = jnp.sum(wf)
+    sws = jnp.maximum(sw, 1e-12)
+    sp = jnp.sum(P * wf[:, None], axis=0)
+    sq = jnp.sum(q * wf[:, None], axis=0)
+    Pc = (P - sp / sws) * wf[:, None]
+    qc = q - sq / sws
+    return dict(sw=sw, sp=sp, sq=sq, H=Pc.T @ qc)
+
+
+def gathered_stats_fn(
+    corr_fn: Callable[[jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]],
+    src_pts: jnp.ndarray,
+    smask: jnp.ndarray,
+    target_points: jnp.ndarray,
+    target_normals: jnp.ndarray | None,
+    thr,
+    point_to_plane: bool,
+) -> Callable[[jnp.ndarray], IcpStats]:
+    """Stats from any top-1 correspondence search: ``corr_fn(P) -> (idx,
+    d2)`` with original target row indices; matches are gathered and reduced
+    with masked einsums. Used by the grid/brute modes and by the
+    sharded-target backend (parallel/icp_sharded.py)."""
+    thr2 = jnp.asarray(thr, jnp.float32) ** 2
+
+    def stats(T: jnp.ndarray) -> IcpStats:
+        P = transform_points(T, src_pts)
+        idx, d2 = corr_fn(P)
+        keep = smask & (d2 <= thr2)  # inclusive, :337-338
+        wf = keep.astype(jnp.float32)
+        n_corr = jnp.sum(wf)
+        sum_d2 = jnp.sum(jnp.where(keep, d2, 0.0))
+        q = target_points[idx]
+        out = _zeros_stats()
+
+        if point_to_plane:
+            nrm = target_normals[idx]
+            cross = jnp.cross(P, nrm)
+            J = jnp.concatenate([cross, nrm], axis=1)  # (N, 6)
+            r = jnp.sum((P - q) * nrm, axis=1)
+            Jw = J * wf[:, None]
+            out["ata"] = Jw.T @ J  # deterministic matmul reduction
+            out["atb"] = (Jw.T @ r[:, None])[:, 0]
+        else:
+            out.update(_p2p_stats(P, q, wf))
+        return IcpStats(n_corr=n_corr, sum_d2=sum_d2, **out)
+
+    return stats
+
+
+def fused_slab_stats_fn(
+    slab: SlabIndex,
+    target_normals: jnp.ndarray | None,
+    src_pts: jnp.ndarray,
+    smask: jnp.ndarray,
+    thr,
+    point_to_plane: bool,
+    block: int = 256,
+    sub: int = 512,
+) -> Callable[[jnp.ndarray], IcpStats]:
+    """The fused at-scale backend: correspondence search + normal-equation
+    accumulation in one radius-exact slab sweep, zero global gathers.
+
+    ``src_pts`` should be pre-sorted by (initial-transform) x so query
+    blocks stay slab-coherent; every reduction here is permutation
+    invariant, so no un-sorting is needed.
+    """
+    thr_f = jnp.asarray(thr, jnp.float32)
+    thr2 = thr_f * thr_f
+    m = slab.sorted_points.shape[0]
+    sub = min(sub, m)
+    pts_t = slab.sorted_points_t  # (3, M)
+    if point_to_plane:
+        nrm_t = target_normals[slab.sorted_orig].T  # (3, M) slab order
+    else:
+        nrm_t = None
+
+    n = src_pts.shape[0]
+    pad = (-n) % block
+    smask_p = jnp.pad(smask, (0, pad))
+    src_p = jnp.pad(src_pts, ((0, pad), (0, 0)))
+    nb = (n + pad) // block
+    col = jnp.arange(sub)
+
+    def stats(T: jnp.ndarray) -> IcpStats:
+        P = transform_points(T, src_p)  # (Np, 3) — padded rows masked below
+        qb = P.reshape(nb, block, 3)
+        mb = smask_p.reshape(nb, block)
+        # Padded/invalid queries must not skew the block x-window.
+        qx = jnp.where(mb, qb[..., 0], jnp.float32(2.9e4))
+        lo, length = _block_slices(slab, qx, thr_f)
+
+        def block_fn(args):
+            qc, qm, lo_b, len_b = args  # (B,3), (B,), (), ()
+
+            def tile(t, acc):
+                bd, bq, bn = acc
+                own_lo = lo_b + t * sub
+                own_hi = lo_b + jnp.minimum(len_b, (t + 1) * sub)
+                start = jnp.clip(own_lo, 0, m - sub)
+                row = start + col
+                cand = jax.lax.dynamic_slice(pts_t, (0, start), (3, sub))
+                vs = jax.lax.dynamic_slice(slab.valid_sorted, (start,), (sub,))
+                valid = vs & (row >= own_lo) & (row < own_hi)
+                dx = cand[0][None, :] - qc[:, 0:1]
+                dy = cand[1][None, :] - qc[:, 1:2]
+                dz = cand[2][None, :] - qc[:, 2:3]
+                d2 = dx * dx + dy * dy + dz * dz
+                d2 = jnp.where(valid[None, :], d2, _BIG)
+                loc_arg = jnp.argmin(d2, axis=1)  # first-hit: lowest-row ties
+                loc_min = jnp.min(d2, axis=1)
+                better = loc_min < bd
+                # One-hot winner extraction via plane reductions — exact
+                # f32, no gather. The one-hot is built from the INTEGER
+                # argmin, never from a float d2 == min comparison: XLA may
+                # recompute fused d2 values with different FMA contraction
+                # on each use, making float equality silently miss.
+                win = (col[None, :] == loc_arg[:, None]) & better[:, None]
+                wf32 = win.astype(jnp.float32)
+                q_loc = jnp.stack(
+                    [jnp.sum(wf32 * cand[i][None, :], axis=1) for i in range(3)],
+                    axis=1,
+                )  # (B, 3)
+                bq = jnp.where(better[:, None], q_loc, bq)
+                bd = jnp.where(better, loc_min, bd)
+                if nrm_t is not None:
+                    nj = jax.lax.dynamic_slice(nrm_t, (0, start), (3, sub))
+                    n_loc = jnp.stack(
+                        [jnp.sum(wf32 * nj[i][None, :], axis=1) for i in range(3)],
+                        axis=1,
+                    )
+                    bn = jnp.where(better[:, None], n_loc, bn)
+                return bd, bq, bn
+
+            n_sub = (len_b + sub - 1) // sub
+            bd, bq, bn = jax.lax.fori_loop(
+                0,
+                n_sub,
+                tile,
+                (
+                    jnp.full((block,), _BIG),
+                    jnp.zeros((block, 3), jnp.float32),
+                    jnp.zeros((block, 3), jnp.float32),
+                ),
+            )
+
+            keep = qm & (bd <= thr2)  # inclusive, :337-338
+            wf = keep.astype(jnp.float32)
+            if point_to_plane:
+                # Fully fused: reduce to the block's partial normal
+                # equations right here — nothing per-point escapes.
+                n_corr_b = jnp.sum(wf)
+                sum_d2_b = jnp.sum(jnp.where(keep, bd, 0.0))
+                cross = jnp.cross(qc, bn)
+                J = jnp.concatenate([cross, bn], axis=1)  # (B, 6)
+                r = jnp.sum((qc - bq) * bn, axis=1)
+                Jw = J * wf[:, None]
+                ata_b = Jw.T @ J
+                atb_b = (Jw.T @ r[:, None])[:, 0]
+                return ata_b, atb_b, n_corr_b, sum_d2_b
+            # p2point: emit per-point matches — Kabsch needs the exact
+            # weighted means, computed below over the full arrays so both
+            # backends produce numerically identical updates.
+            return bd, bq, wf
+
+        out = _zeros_stats()
+        if point_to_plane:
+            ata_p, atb_p, nc_p, sd_p = jax.lax.map(
+                block_fn, (qb, mb, lo, length)
+            )
+            out["ata"] = jnp.sum(ata_p, axis=0)
+            out["atb"] = jnp.sum(atb_p, axis=0)
+            n_corr = jnp.sum(nc_p)
+            sum_d2 = jnp.sum(sd_p)
+        else:
+            bd_p, bq_p, wf_p = jax.lax.map(block_fn, (qb, mb, lo, length))
+            wf = wf_p.reshape(-1)
+            bd = bd_p.reshape(-1)
+            n_corr = jnp.sum(wf)
+            sum_d2 = jnp.sum(jnp.where(wf > 0, bd, 0.0))
+            out.update(_p2p_stats(P, bq_p.reshape(-1, 3), wf))
+        return IcpStats(n_corr=n_corr, sum_d2=sum_d2, **out)
+
+    return stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iterations", "point_to_plane", "nn_mode",
+                     "cell_capacity", "block", "sub"),
+)
+def icp_refine(
+    source: PointCloud,
+    target: PointCloud,
+    initial_transform: jnp.ndarray,
+    distance_threshold,
+    max_iterations: int = 200,
+    point_to_plane: bool = True,
+    nn_mode: str = "auto",
+    cell_capacity: int = 16,
+    block: int = 256,
+    sub: int = 512,
+) -> RegistrationResult:
+    """``nn_mode`` selects the correspondence backend — ALL exact for ICP's
+    semantics (matches beyond the threshold are rejected anyway,
+    registration.cpp:337-338):
+      'slab'  — fused slab sweep (radius-exact for ANY occupancy; the
+                round-1 slice_cap truncation no longer exists); O(N·L_occ)
+                per iteration, the fast path at scale.
+      'grid'  — 27-cell bucket scan (ops/grid.py); exact, gather-heavy.
+      'brute' — tiled full scan (Pallas kernel on TPU).
+      'auto'  — slab for targets ≥ 4096 points, brute below."""
+    thr = jnp.asarray(distance_threshold, jnp.float32)
+    use_p2l = point_to_plane and target.normals is not None  # trace-time, like
+    # the reference's `point_to_plane && target.hasNormals()` (:343, :365)
+    n_valid = jnp.maximum(jnp.sum(source.mask.astype(jnp.float32)), 1.0)
+    src_pts = source.points.astype(jnp.float32)
+    smask = source.mask
+
+    if nn_mode == "auto":
+        nn_mode = "slab" if target.capacity >= 4096 else "brute"
+
+    if nn_mode == "slab":
+        # Structures are built ONCE and reused every iteration (the target
+        # never moves; only the source transform changes). Re-order the
+        # source once by initial-transformed x so slab query blocks stay
+        # coherent for any input row order; every ICP reduction is
+        # permutation-invariant, so no un-sorting is needed.
+        slab = build_slab(target.points, target.mask)
+        x0 = transform_points(initial_transform.astype(jnp.float32), src_pts)[
+            :, 0
+        ]
+        order = jnp.argsort(jnp.where(smask, x0, jnp.float32(3e4)))
+        stats = fused_slab_stats_fn(
+            slab,
+            target.normals if use_p2l else None,
+            src_pts[order],
+            smask[order],
+            thr,
+            use_p2l,
+            block=block,
+            sub=sub,
+        )
+    else:
+        if nn_mode == "grid":
+            grid = build_grid(target.points, target.mask, thr)
+
+            def corr_fn(P):
+                return grid_top1(grid, P, cell_capacity=cell_capacity)
+
+        else:
+
+            def corr_fn(P):
+                return nearest_neighbor(P, target.points, target.mask)
+
+        stats = gathered_stats_fn(
+            corr_fn, src_pts, smask, target.points,
+            target.normals if use_p2l else None, thr, use_p2l,
+        )
+
+    return icp_loop(
+        stats, n_valid, initial_transform, max_iterations, use_p2l
+    )

@@ -110,6 +110,33 @@ def kabsch(
     return R, t
 
 
+def kabsch_from_cross_cov(
+    sw: jnp.ndarray,
+    sp: jnp.ndarray,
+    sq: jnp.ndarray,
+    H: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Kabsch (R, t) from sufficient statistics — the reduced form used by
+    the ICP stats backends (ops/icp.py), identical to :func:`kabsch`.
+
+    Args: sw scalar Σw; sp, sq (3,) weighted coordinate sums Σw·p / Σw·q;
+    H (3,3) the CENTERED weighted cross-covariance Σ w (p−p̄)(q−q̄)ᵀ —
+    callers compute it with the exact weighted means (two linear passes) so
+    no large-moment cancellation enters.
+    """
+    sws = jnp.maximum(sw, 1e-12)
+    src_mean = sp / sws
+    tgt_mean = sq / sws
+    U, _, Vt = jnp.linalg.svd(H)
+    V = Vt.T
+    R = V @ U.T
+    det = jnp.linalg.det(R)
+    V_fixed = V.at[:, 2].multiply(jnp.where(det < 0, -1.0, 1.0))
+    R = V_fixed @ U.T
+    t = tgt_mean - R @ src_mean
+    return R, t
+
+
 def _det3(a):
     """Batched 3x3 determinant, explicit cofactor expansion (elementwise)."""
     return (

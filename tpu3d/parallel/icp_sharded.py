@@ -2,12 +2,17 @@
 
 Completes BASELINE.json configs[4]: at 1M+ points the target cloud no longer
 fits one chip's working set comfortably — shard its rows over a mesh axis
-and run the per-iteration correspondence search distributed
-(parallel/sharded_nn.py: local top-1 per shard, global argmin over an
-all_gather that moves only (n_shards × queries) scalars across ICI). The
-6x6 normal equations, solve and convergence logic are identical to the
-single-chip ``ops/icp.py`` — only the NN source changes, so the result
-matches single-chip ICP bit-for-near (tie order may differ at float ties).
+and run the per-iteration correspondence search distributed. Round 2
+unified this with the single-chip loop: this module is now ONLY the
+correspondence plug (per-shard slab top-1 + global argmin over an
+all_gather that moves (n_shards × queries) scalars across ICI); the
+Gauss-Newton/Kabsch iteration, convergence and result semantics come from
+``tpu3d.ops.icp.icp_loop`` + ``gathered_stats_fn`` — one loop body, no
+drift between the single-chip and sharded paths.
+
+Each shard x-sorts its rows ONCE (build_slab_sharded) so the per-iteration
+search inside a shard is O(Q·L_occ) contiguous slab slices, not the
+O(Q·M/n_shards) brute scan round 1 shipped.
 
 Gathers of matched target points/normals (rows live on other shards) are
 done on the replicated copies of ``points``/``normals`` that XLA keeps
@@ -23,19 +28,22 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from tpu3d.ops.transforms import (
-    euler_xyz_to_matrix,
-    kabsch,
-    make_transform,
-    transform_points,
+from tpu3d.ops.icp import gathered_stats_fn, icp_loop
+from tpu3d.ops.transforms import transform_points
+from tpu3d.parallel.sharded_nn import (
+    build_slab_sharded,
+    nearest_neighbor_sharded,
+    slab_top1_sharded,
 )
-from tpu3d.parallel.sharded_nn import nearest_neighbor_sharded
 from tpu3d.types import PointCloud, RegistrationResult
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iterations", "point_to_plane", "mesh", "axis"),
+    static_argnames=(
+        "max_iterations", "point_to_plane", "mesh", "axis", "nn_mode",
+        "slice_cap",
+    ),
 )
 def icp_refine_sharded(
     source: PointCloud,
@@ -46,63 +54,47 @@ def icp_refine_sharded(
     axis: str = "shard",
     max_iterations: int = 200,
     point_to_plane: bool = True,
+    nn_mode: str = "slab",
+    slice_cap: int = 4096,
 ) -> RegistrationResult:
     """Same semantics as ops.icp.icp_refine; target rows sharded over
-    ``axis`` (row count must divide the axis size — pad with masked rows)."""
+    ``axis`` (row count must divide the axis size — pad with masked rows).
+
+    ``nn_mode``: 'slab' (per-shard x-sorted slab slices, the fast path) or
+    'brute' (per-shard full scan)."""
     thr = jnp.asarray(distance_threshold, jnp.float32)
     use_p2l = point_to_plane and target.normals is not None
     n_valid = jnp.maximum(jnp.sum(source.mask.astype(jnp.float32)), 1.0)
     src_pts = source.points.astype(jnp.float32)
     smask = source.mask
 
-    def body(state):
-        T, fitness, rmse, it, done = state
-        P = transform_points(T, src_pts)
-        idx, d2 = nearest_neighbor_sharded(
-            P, target.points, target.mask, mesh, axis=axis
-        )
-        keep = smask & (jnp.sqrt(d2) <= thr)
-        wf = keep.astype(jnp.float32)
-        n_corr = jnp.sum(wf)
-        q = target.points[idx]
+    if nn_mode == "slab":
+        # Build per-shard slabs ONCE (the target never moves) and keep the
+        # source x-sorted so slab query blocks stay coherent; all loop
+        # reductions are permutation-invariant, so no un-sorting is needed.
+        sslab = build_slab_sharded(target.points, target.mask, mesh, axis)
+        x0 = transform_points(
+            initial_transform.astype(jnp.float32), src_pts
+        )[:, 0]
+        order = jnp.argsort(jnp.where(smask, x0, jnp.float32(3e4)))
+        src_pts = src_pts[order]
+        smask = smask[order]
 
-        if use_p2l:
-            nrm = target.normals[idx]
-            cross = jnp.cross(P, nrm)
-            J = jnp.concatenate([cross, nrm], axis=1)
-            r = jnp.sum((P - q) * nrm, axis=1)
-            Jw = J * wf[:, None]
-            ATA = Jw.T @ J
-            ATb = Jw.T @ r[:, None]
-            x = jnp.linalg.solve(ATA, -ATb)[:, 0]
-            delta = make_transform(euler_xyz_to_matrix(x[:3]), x[3:])
-        else:
-            R, t = kabsch(P, q, weights=wf)
-            delta = make_transform(R, t)
+        def corr_fn(P):
+            return slab_top1_sharded(
+                sslab, P, thr, mesh, axis=axis, slice_cap=slice_cap
+            )
 
-        newT = delta @ T
-        new_rmse = jnp.sqrt(jnp.sum(d2 * wf) / jnp.maximum(n_corr, 1.0))
-        new_fit = n_corr / n_valid
-        abort = n_corr < 3.0
-        converged = (it > 0) & (jnp.abs(rmse - new_rmse) < 1e-6)
-        return (
-            jnp.where(abort, T, newT),
-            jnp.where(abort, fitness, new_fit),
-            jnp.where(abort, rmse, new_rmse),
-            it + 1,
-            abort | converged,
-        )
+    else:
 
-    def cond(state):
-        _, _, _, it, done = state
-        return (it < max_iterations) & jnp.logical_not(done)
+        def corr_fn(P):
+            return nearest_neighbor_sharded(
+                P, target.points, target.mask, mesh, axis=axis
+            )
 
-    init = (
-        initial_transform.astype(jnp.float32),
-        jnp.float32(0.0),
-        jnp.float32(0.0),
-        jnp.int32(0),
-        jnp.bool_(False),
+    stats = gathered_stats_fn(
+        corr_fn, src_pts, smask, target.points,
+        target.normals if use_p2l else None, thr, use_p2l,
     )
-    T, fitness, rmse, _, _ = jax.lax.while_loop(cond, body, init)
-    return RegistrationResult(transformation=T, fitness=fitness, rmse=rmse)
+    return icp_loop(stats, n_valid, initial_transform, max_iterations,
+                    use_p2l)

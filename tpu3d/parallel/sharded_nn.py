@@ -14,12 +14,14 @@ target index, identical to the single-chip kernel.
 
 from __future__ import annotations
 
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tpu3d.ops.nn_pallas import nearest_neighbor
+from tpu3d.ops.slab import SlabIndex, build_slab, slab_top1
 
 
 def nearest_neighbor_sharded(
@@ -63,3 +65,77 @@ def nearest_neighbor_sharded(
         check_vma=False,
     )
     return fn(queries, targets, target_mask)
+
+
+class ShardedSlab(NamedTuple):
+    """Per-shard slab indices over a row-sharded target cloud: each shard's
+    rows are x-sorted LOCALLY (build once; the target never moves during
+    ICP), so the per-iteration correspondence search within every shard is
+    O(Q·L_occ) slab slices instead of the O(Q·M/n_shards) brute scan."""
+
+    sorted_points: jnp.ndarray  # f32[M, 3], rows sharded; x-sorted per shard
+    sorted_points_t: jnp.ndarray  # f32[3, M], columns sharded
+    sorted_orig: jnp.ndarray  # i32[M] LOCAL original row per shard
+    sorted_x: jnp.ndarray  # f32[M] ascending per shard
+    valid_sorted: jnp.ndarray  # bool[M]
+
+
+def build_slab_sharded(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "shard",
+) -> ShardedSlab:
+    """Build per-shard slab indices (one local x-sort per shard, no
+    cross-shard traffic)."""
+
+    def local(p, m_):
+        s = build_slab(p, m_)
+        return ShardedSlab(
+            s.sorted_points, s.sorted_points_t, s.sorted_orig, s.sorted_x,
+            s.valid_sorted,
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=ShardedSlab(
+            P(axis), P(None, axis), P(axis), P(axis), P(axis)
+        ),
+    )
+    return fn(points, mask)
+
+
+def slab_top1_sharded(
+    sslab: ShardedSlab,
+    queries: jnp.ndarray,
+    radius,
+    mesh: Mesh,
+    axis: str = "shard",
+    slice_cap: int = 4096,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest target within ``radius`` per query, target sharded with a
+    local slab per shard. Queries replicated (pre-sort them by x for block
+    coherence). Returns (idx i32[Q] GLOBAL rows, d2 f32[Q], >=1e30 when no
+    match)."""
+
+    def local(q, sp, spt, so, sx, vs):
+        slab = SlabIndex(sp, spt, so, sx, vs)
+        idx_l, d2_l, _overflow = slab_top1(slab, q, radius,
+                                           slice_cap=slice_cap)
+        offset = jax.lax.axis_index(axis) * sp.shape[0]
+        gath_d = jax.lax.all_gather(d2_l, axis)  # (n_shards, Q)
+        gath_i = jax.lax.all_gather(idx_l + offset, axis)
+        win = jnp.argmin(gath_d, axis=0)  # ties → lowest shard/global row
+        q_ids = jnp.arange(d2_l.shape[0])
+        return gath_i[win, q_ids], gath_d[win, q_ids]
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(None, axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,  # replicated by construction (see above)
+    )
+    return fn(queries, *sslab)
