@@ -178,3 +178,81 @@ def test_pipeline_with_bilateral_filter():
     pipe = Pipeline(cfg, sleep_fn=lambda s: None)
     waypoints = pipe.run()
     assert len(waypoints) == 1
+
+
+def test_pipeline_batches_same_bucket_instances(tmp_path):
+    """≥2 masks in one capacity bucket must take the vmap-batched path
+    (VERDICT r1 #4) and register each instance correctly."""
+    import cv2
+
+    z, K = _bumpy_frame()
+    scale = 10000.0
+    depth_u16 = (z * scale).astype(np.uint16)
+    h, w = depth_u16.shape
+
+    mask_dir = tmp_path / "masks"
+    mask_dir.mkdir()
+    for j, (x0, x1) in enumerate([(10, 110), (120, 220), (10, 110)]):
+        m = np.zeros((h, w), np.uint8)
+        y0 = 20 + 40 * (j == 2)
+        m[y0 : y0 + 100, x0:x1] = 255
+        cv2.imwrite(str(mask_dir / f"mask_{j}.png"), m)
+
+    from tpu3d import oracle
+
+    pts, _ = oracle.deproject(
+        depth_u16.astype(np.float32) / scale, None,
+        K[0, 0], K[1, 1], K[0, 2], K[1, 2], clipping_max=1.5,
+    )
+    ply_path = str(tmp_path / "ref.ply")
+    save_ply(ply_path, pts)
+
+    cfg = _demo_config()
+    cfg.camera.width, cfg.camera.height = 240, 180
+    cfg.depth.scale_to_meters = scale
+    cfg.reference_model_path = ply_path
+    cfg.registration.voxel_size = 0.008
+    cfg.registration.ransac_max_iterations = 2000
+    cfg.registration.icp_max_iterations = 30
+    cfg.registration.max_points = 8192  # one shared capacity bucket
+    # (the full-frame model has ~5.9k voxels at 8 mm — must not truncate)
+    cfg.segmentation.masks_input_dir = str(mask_dir)
+
+    rgb_path = str(tmp_path / "rgb.png")
+    depth_path = str(tmp_path / "depth.png")
+    cv2.imwrite(rgb_path, np.zeros((h, w, 3), np.uint8) + 90)
+    cv2.imwrite(depth_path, depth_u16)
+    cfg.dummy_rgb_path, cfg.dummy_depth_path = rgb_path, depth_path
+
+    pipe = Pipeline(cfg, sleep_fn=lambda s: None)
+    pipe._forced_K = K
+    pipe.run()
+    assert pipe._batched_groups >= 1  # the vmap path actually ran
+    assert len(pipe.instance_results) == 3
+    for res in pipe.instance_results:
+        # each instance is a crop of the reference → identity pose
+        assert res["fitness"] > 0.7, res
+        T = res["T_world_object"]
+        np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=0.05)
+        np.testing.assert_allclose(T[:3, 3], 0.0, atol=0.02)
+
+
+def test_pipeline_icp_host_retry(monkeypatch):
+    """Accelerator-stage ICP failure must retry on the host backend and
+    still produce a pose (pipeline.cpp:114-121 parity)."""
+    cfg = _demo_config()
+    cfg.registration.ransac_max_iterations = 500
+    cfg.registration.icp_max_iterations = 10
+    pipe = Pipeline(cfg, sleep_fn=lambda s: None)
+
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("injected accelerator fault")
+
+    monkeypatch.setattr(pipe, "_icp_accel", boom)
+    waypoints = pipe.run()
+    assert calls["n"] >= 1  # the accel attempt actually happened
+    assert len(waypoints) == 1  # host retry delivered the pose
+    assert np.all(np.isfinite(waypoints[0]))

@@ -109,8 +109,8 @@ def fused_prepare_features(
     cloud: PointCloud,
     radius,
     slice_cap: int | None = None,
-    block: int = 256,
-    sub: int = 512,
+    block: int = 512,
+    sub: int = 1024,
     return_overflow: bool = False,
 ) -> tuple[PointCloud, FPFHFeatures]:
     """Normals + FPFH for a cloud, fused slab sweeps, original row order.

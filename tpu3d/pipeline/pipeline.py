@@ -81,17 +81,30 @@ class Pipeline:
     ) -> Optional[np.ndarray]:
         t0 = time.perf_counter()
         print(f"\n--- Processing instance {instance_id} ---")
-        cfg = self.config
         with self._compute_device():  # pool threads don't inherit run()'s
-            return self._process_instance_inner(
-                mask, depth_raw, rgb, K, ref_cloud, ref_features,
-                instance_id, t0,
+            prep = self._prepare_instance_inner(
+                mask, depth_raw, rgb, K, instance_id
+            )
+            if prep is None:
+                return None
+            return self._register_instance_inner(
+                prep[0], prep[1], ref_cloud, ref_features, instance_id, t0
             )
 
-    def _process_instance_inner(
-        self, mask, depth_raw, rgb, K, ref_cloud, ref_features, instance_id,
-        t0,
-    ) -> Optional[np.ndarray]:
+    def prepare_instance(
+        self, mask, depth_raw, rgb, K, instance_id
+    ) -> Optional[tuple]:
+        """Per-instance host+device prep up to FPFH: mask → depth → cloud →
+        (downsampled cloud, features). Runs on pool threads."""
+        print(f"\n--- Preparing instance {instance_id} ---")
+        with self._compute_device():
+            return self._prepare_instance_inner(
+                mask, depth_raw, rgb, K, instance_id
+            )
+
+    def _prepare_instance_inner(
+        self, mask, depth_raw, rgb, K, instance_id
+    ) -> Optional[tuple]:
         cfg = self.config
         try:
             if mask is not None and mask.shape != depth_raw.shape:
@@ -125,13 +138,22 @@ class Pipeline:
                 return None
             print(f"Instance {instance_id}: {n_pts} points")
 
-            source, source_features = prepare_cloud(
+            return prepare_cloud(
                 cloud,
                 cfg.registration,
                 capacity=cfg.registration.max_points or None,
                 neighbor_mode=self._neighbor_mode,
             )
+        except Exception as e:  # degrade like pipeline.cpp:146-149
+            print(f"Instance {instance_id} prepare error: {e}")
+            return None
 
+    def _register_instance_inner(
+        self, source, source_features, ref_cloud, ref_features, instance_id,
+        t0,
+    ) -> Optional[np.ndarray]:
+        cfg = self.config
+        try:
             coarse = ransac_registration(
                 source,
                 ref_cloud,
@@ -199,6 +221,110 @@ class Pipeline:
         except Exception as e:  # degrade like pipeline.cpp:146-149
             print(f"Instance {instance_id} error: {e}")
             return None
+
+    def _register_instances(
+        self, prepared, ref_cloud, ref_features
+    ) -> List[Optional[np.ndarray]]:
+        """Register every prepared instance against the reference model.
+
+        Instances whose clouds landed in the same capacity bucket are
+        stacked and registered as ONE vmap-batched device call
+        (register_batch) — the TPU answer to the reference's per-instance
+        thread fan-out (pipeline.cpp:321-339); singletons use the scalar
+        path. Returns one pose (or None) per input instance, in order."""
+        cfg = self.config
+        poses: List[Optional[np.ndarray]] = [None] * len(prepared)
+        groups: dict = {}
+        for i, prep in enumerate(prepared):
+            if prep is None:
+                continue
+            groups.setdefault(prep[0].capacity, []).append(i)
+
+        self._batched_groups = 0  # test/diagnostic hook
+        for cap, ids in sorted(groups.items()):
+            if len(ids) >= 2:
+                try:
+                    poses_b = self._register_batch_group(
+                        [prepared[i] for i in ids], ids, ref_cloud,
+                        ref_features,
+                    )
+                    for i, p in zip(ids, poses_b):
+                        poses[i] = p
+                    self._batched_groups += 1
+                    continue
+                except Exception as e:
+                    print(
+                        f"Batched registration failed ({e}); falling back"
+                        " to per-instance"
+                    )
+            for i in ids:
+                poses[i] = self._register_instance_inner(
+                    prepared[i][0], prepared[i][1], ref_cloud, ref_features,
+                    i, time.perf_counter(),
+                )
+        return poses
+
+    def _register_batch_group(
+        self, preps, ids, ref_cloud, ref_features
+    ) -> List[Optional[np.ndarray]]:
+        """One fused RANSAC+ICP program for a same-capacity instance group."""
+        from tpu3d.parallel.batched import register_batch, stack_clouds
+        from tpu3d.types import FPFHFeatures
+
+        cfg = self.config.registration
+        print(
+            f"\n--- Registering {len(ids)} instances batched"
+            f" (capacity {preps[0][0].capacity}) ---"
+        )
+        batch = stack_clouds([p[0] for p in preps])
+        fbatch = FPFHFeatures(
+            descriptors=jnp.stack([p[1].descriptors for p in preps]),
+            mask=jnp.stack([p[1].mask for p in preps]),
+        )
+        t0 = time.perf_counter()
+        refined, coarse = register_batch(
+            batch,
+            ref_cloud,
+            fbatch,
+            ref_features,
+            cfg.voxel_size,
+            ransac_max_iterations=cfg.ransac_max_iterations,
+            ransac_confidence=cfg.ransac_confidence,
+            icp_distance_factor=cfg.icp_distance_factor,
+            icp_max_iterations=cfg.icp_max_iterations,
+            point_to_plane=cfg.use_point_to_plane,
+            seed=cfg.ransac_seed,
+        )
+        T_all = np.asarray(refined.transformation)  # sync — faults surface
+        fit_all = np.asarray(refined.fitness)
+        rmse_all = np.asarray(refined.rmse)
+        cfit_all = np.asarray(coarse.fitness)
+        ms = (time.perf_counter() - t0) * 1000.0
+        print(f"Batch of {len(ids)} registered in {ms:.1f} ms")
+
+        out = []
+        for b, instance_id in enumerate(ids):
+            fitness = float(fit_all[b])
+            print(
+                f"Instance {instance_id}: RANSAC fitness={float(cfit_all[b]):.4f},"
+                f" ICP fitness={fitness:.4f}, RMSE={float(rmse_all[b]):.6f}"
+            )
+            if fitness < cfg.min_fitness:
+                # Warn but still use the pose, like pipeline.cpp:131-134.
+                print(f"Instance {instance_id}: low fitness {fitness:.4f}")
+            T_camera_object = np.asarray(invert_transform(T_all[b]))
+            T_world_object = self.config.camera_extrinsics @ T_camera_object
+            self.instance_results.append(
+                {
+                    "instance_id": instance_id,
+                    "fitness": fitness,
+                    "rmse": float(rmse_all[b]),
+                    "coarse_fitness": float(cfit_all[b]),
+                    "T_world_object": T_world_object,
+                }
+            )
+            out.append(T_world_object)
+        return out
 
     def _icp_accel(self, source, target, init_T, threshold):
         """ICP on whatever backend is current (split out so tests can fault
@@ -353,27 +479,28 @@ class Pipeline:
 
         print(f"\n[4/5] Processing {len(masks)} instances (parallel)...")
         t_proc = time.perf_counter()
+        # Phase 1 — per-instance prep (mask/depth/deproject/FPFH) fans out
+        # over the host pool (parity with the reference's ThreadPool,
+        # pipeline.cpp:321-339; here its real job is overlapping host prep
+        # with device compute).
         with ThreadPoolExecutor(max_workers=max(cfg.num_threads, 1)) as pool:
-            futures = [
-                pool.submit(
-                    self.process_instance,
-                    masks[i],
-                    depth,
-                    rgb,
-                    K,
-                    ref_cloud,
-                    ref_features,
-                    i,
-                )
+            prep_futures = [
+                pool.submit(self.prepare_instance, masks[i], depth, rgb, K, i)
                 for i in range(len(masks))
             ]
-            raw_waypoints = []
-            for i, fut in enumerate(futures):
-                result = fut.result()
-                if result is not None:
-                    raw_waypoints.append(result)
-                    if self.viewer is not None and self.viewer.is_running():
-                        self.viewer.set_pose(f"pose_{i}", result)
+            prepared = [f.result() for f in prep_futures]
+
+        # Phase 2 — registration. Instances sharing a capacity bucket run
+        # as ONE vmap-batched device program (tpu3d/parallel/batched.py);
+        # stragglers take the single-instance path.
+        poses = self._register_instances(prepared, ref_cloud, ref_features)
+
+        raw_waypoints = []
+        for i, result in enumerate(poses):
+            if result is not None:
+                raw_waypoints.append(result)
+                if self.viewer is not None and self.viewer.is_running():
+                    self.viewer.set_pose(f"pose_{i}", result)
         proc_ms = (time.perf_counter() - t_proc) * 1000.0
         print(f"\nAll instances processed in {proc_ms:.1f} ms")
 

@@ -62,11 +62,20 @@ def downsample_bucketed(
     config: RegistrationConfig,
     capacity: Optional[int] = None,
 ) -> PointCloud:
-    """Voxel downsample + compact to a power-of-two capacity bucket."""
+    """Voxel downsample + compact to a power-of-two capacity bucket.
+
+    With an explicit ``capacity`` (the config's max_points), a cloud whose
+    voxel count exceeds it is TRUNCATED — loudly, because a silently
+    cropped reference model degrades every registration against it."""
     down = voxel_downsample(cloud, config.voxel_size)
+    count = int(down.count())  # host sync at the stage boundary
     if capacity is None:
-        count = int(down.count())  # host sync at the stage boundary
         capacity = bucket_capacity(max(count, 1))
+    elif count > capacity:
+        print(
+            f"tpu3d: cloud has {count} voxels but max_points={capacity} — "
+            "truncating; raise registration.max_points to keep full coverage"
+        )
     return compact(down, capacity)
 
 
