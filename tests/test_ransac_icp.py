@@ -186,3 +186,46 @@ def test_ransac_two_stage_matches_single_stage(rng):
     np.testing.assert_allclose(np.asarray(a.transformation)[:3, 3],
                                np.asarray(b.transformation)[:3, 3], atol=5e-3)
     assert abs(float(a.fitness) - float(b.fitness)) < 0.05
+
+
+def test_ransac_corr_subsample_recovers_pose(rng):
+    """corr_mode='subsample' computes exact correspondences for a random
+    subset only — the pose must match the exact run, fitness within the
+    sampling noise."""
+    from tpu3d.ops.fused_features import fused_prepare_features
+    from tpu3d.ops.ransac import ransac_registration
+    from tpu3d.types import PointCloud
+
+    voxel = 0.006
+    xy = rng.uniform(-0.2, 0.2, size=(2000, 2)).astype(np.float32)
+    z = 0.7 + 0.03 * np.sin(25 * xy[:, 0]) * np.cos(22 * xy[:, 1])
+    tgt_pts = np.column_stack([xy, z]).astype(np.float32)
+    aa = np.array([0.12, -0.1, 0.15])
+    th = np.linalg.norm(aa)
+    k = aa / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    R = (np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K).astype(
+        np.float32
+    )
+    t = np.array([0.02, -0.01, 0.03], np.float32)
+    src_pts = ((tgt_pts - t) @ R).astype(np.float32)
+
+    src, sf = fused_prepare_features(
+        PointCloud.from_numpy(src_pts, capacity=2048), jnp.float32(voxel * 5)
+    )
+    tgt, tf = fused_prepare_features(
+        PointCloud.from_numpy(tgt_pts, capacity=2048), jnp.float32(voxel * 5)
+    )
+    exact = ransac_registration(
+        src, tgt, sf, tf, voxel, max_iterations=4096, corr_mode="exact"
+    )
+    sub = ransac_registration(
+        src, tgt, sf, tf, voxel, max_iterations=4096,
+        corr_mode="subsample", corr_cap=512,
+    )
+    for res in (exact, sub):
+        T = np.asarray(res.transformation)
+        assert float(res.fitness) > 0.75, float(res.fitness)
+        np.testing.assert_allclose(T[:3, :3], R, atol=0.03)
+        np.testing.assert_allclose(T[:3, 3], t, atol=0.015)
+    assert abs(float(sub.fitness) - float(exact.fitness)) < 0.1

@@ -51,18 +51,70 @@ def test_viewer_scene_store_and_exports(rng, tmp_path):
     content = open(html).read()
     assert "webgl" in content
     # Embedded scene JSON parses and carries our objects.
-    start = content.index("const SCENE = ") + len("const SCENE = ")
+    start = content.index("let SCENE = ") + len("let SCENE = ")
     end = content.index(";\n", start)
     scene = json.loads(content[start:end])
     assert "scene" in scene["clouds"]
     assert "pose_0" in scene["poses"]
     assert len(scene["path"]) == 2
+    # The page is live: it polls the scene.json sidecar by name.
+    assert "scene.json" in content and "fetch(" in content
 
     png = v.export_png(str(tmp_path / "scene.png"))
     assert png is not None and os.path.getsize(png) > 1000
 
     v.clear()
     assert "scene" not in json.loads(v._scene_json())["clouds"]
+
+
+def test_viewer_live_sidecar_tracks_mutations(rng, tmp_path):
+    """The reference viewer is a live window (gl_viewer.cpp:145-207): a
+    mutation while running must reach an open tab with no user action.
+    Here: the watcher re-writes scene.json with a bumped version, which the
+    page's fetch-poll (or reload fallback) picks up."""
+    import time
+
+    v = SceneViewer(html_path=str(tmp_path / "scene.html"))
+    v.start()
+    try:
+        v.set_point_cloud(
+            "first", rng.normal(size=(50, 3)).astype(np.float32)
+        )
+        deadline = time.time() + 5.0
+        while not os.path.exists(v.json_path) and time.time() < deadline:
+            time.sleep(0.05)
+        s1 = json.loads(open(v.json_path).read())
+        assert "first" in s1["clouds"]
+
+        v.set_pose("pose_live", np.eye(4, dtype=np.float32))
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            s2 = json.loads(open(v.json_path).read())
+            if s2["version"] > s1["version"]:
+                break
+            time.sleep(0.05)
+        assert s2["version"] > s1["version"]
+        assert "pose_live" in s2["poses"]
+    finally:
+        v.stop()
+
+
+def test_viewer_http_serve(rng, tmp_path):
+    """The optional localhost server feeds the page's fetch-poll."""
+    import urllib.request
+
+    v = SceneViewer(html_path=str(tmp_path / "scene.html"))
+    v.set_point_cloud("srv", rng.normal(size=(10, 3)).astype(np.float32))
+    v.export_scene_json(v.json_path)
+    v.export_html(v.html_path)
+    port = v.serve(port=0)
+    try:
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/scene.json", timeout=5
+        ).read()
+        assert "srv" in json.loads(body)["clouds"]
+    finally:
+        v.stop()
 
 
 def test_viewer_lifecycle():

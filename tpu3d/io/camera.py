@@ -2,23 +2,27 @@
 
 Mirrors the reference's ``RealSenseCamera`` (src/camera.cpp:15-93): BGR8
 color + Z16 depth at the requested size @30fps, device depth scale, a
-30-frame auto-exposure settle, depth aligned to color, intrinsics from the
-color stream profile. Import of pyrealsense2 is gated — on machines without
-the SDK the class raises at connect() just like the reference fails its
-pipeline.start, and the pipeline degrades per config (use_camera=false).
+30-frame auto-exposure settle, depth aligned to color, and intrinsics
+served from the color stream profile RIGHT AFTER connect (camera.cpp:84-93
+— they do not wait for a capture). The SDK is resolved lazily at
+``connect()`` — on machines without pyrealsense2 connect() fails cleanly
+just like the reference's pipeline.start, and the pipeline degrades per
+config (use_camera=false); tests inject a fake ``pyrealsense2`` module.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-try:
-    import pyrealsense2 as rs  # type: ignore
 
-    _HAS_RS = True
-except Exception:
-    rs = None
-    _HAS_RS = False
+def _load_sdk():
+    """Resolve pyrealsense2 at call time (injectable for tests)."""
+    try:
+        import pyrealsense2 as rs  # type: ignore
+
+        return rs
+    except Exception:
+        return None
 
 
 class RealSenseCamera:
@@ -28,9 +32,11 @@ class RealSenseCamera:
         self.depth_scale = 0.001
         self._pipeline = None
         self._align = None
+        self._intrinsics = None
 
     def connect(self) -> bool:
-        if not _HAS_RS:
+        rs = _load_sdk()
+        if rs is None:
             print("RealSense SDK unavailable — cannot connect camera")
             return False
         try:
@@ -45,6 +51,16 @@ class RealSenseCamera:
             profile = self._pipeline.start(cfg)
             sensor = profile.get_device().first_depth_sensor()
             self.depth_scale = float(sensor.get_depth_scale())
+            # Intrinsics from the color stream profile, available as soon
+            # as the pipeline starts (camera.cpp:84-93) — get_intrinsics()
+            # must be valid BEFORE any capture.
+            try:
+                stream = profile.get_stream(rs.stream.color)
+                self._intrinsics = (
+                    stream.as_video_stream_profile().get_intrinsics()
+                )
+            except Exception as e:
+                print(f"Could not read color intrinsics at connect: {e}")
             self._align = rs.align(rs.stream.color)
             for _ in range(30):  # AE settle, camera.cpp:30
                 self._pipeline.wait_for_frames()
@@ -65,14 +81,17 @@ class RealSenseCamera:
                 return None
             rgb = np.asanyarray(color.get_data()).copy()
             d = np.asanyarray(depth.get_data()).copy()
-            self._intrinsics = color.profile.as_video_stream_profile().intrinsics
+            # Refresh from the live frame (tracks any profile change).
+            self._intrinsics = (
+                color.profile.as_video_stream_profile().intrinsics
+            )
             return rgb, d
         except Exception as e:
             print(f"Capture failed: {e}")
             return None
 
     def get_intrinsics(self) -> np.ndarray:
-        i = getattr(self, "_intrinsics", None)
+        i = self._intrinsics
         K = np.eye(3, dtype=np.float32)
         if i is not None:
             K[0, 0], K[1, 1] = i.fx, i.fy

@@ -68,7 +68,8 @@ def feature_correspondences(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iterations", "chunk", "two_stage"),
+    static_argnames=("max_iterations", "chunk", "two_stage", "corr_cap",
+                     "corr_mode"),
 )
 def ransac_registration(
     source: PointCloud,
@@ -81,6 +82,8 @@ def ransac_registration(
     seed: int = 42,
     chunk: int = 512,
     two_stage: str | bool = "auto",
+    corr_cap: int = 16384,
+    corr_mode: str = "auto",
 ) -> RegistrationResult:
     """``two_stage``: score every hypothesis on a 16k-point subsample first,
     then re-score only the top 1024 on all points (exact fitness/rmse for
@@ -88,21 +91,53 @@ def ransac_registration(
     σ ≈ 0.4%, and 1024 finalists is a huge margin over that — but the
     early-exit-prefix cutoff is evaluated on stage-1 estimates, a documented
     delta vs the reference's exact sequential ordering. 'auto' enables it
-    when the cloud is ≥ 2x the subsample and there are > 4096 hypotheses."""
+    when the cloud is ≥ 2x the subsample and there are > 4096 hypotheses.
+
+    ``corr_mode``/``corr_cap``: at scale the O(N·M·33) descriptor NN is the
+    cost center, but RANSAC only consumes correspondences statistically —
+    3-point samples and inlier fractions. 'auto' (or 'subsample') computes
+    EXACT correspondences for a random ``corr_cap``-row subset of the
+    source when the cloud is ≥ 2x that size (each correspondence is still
+    the exact 33-D NN; there are just fewer of them). Hypotheses are drawn
+    from and scored on the subset: pose quality is statistically unchanged
+    and fitness/rmse become unbiased estimates with σ ≈ 0.4% at 16k — the
+    same class of delta as ``two_stage``. 'exact' always matches every
+    source row (the reference's semantics, registration.cpp:216-232)."""
     voxel_size = jnp.asarray(voxel_size, jnp.float32)
     thr2 = (voxel_size * 1.5) ** 2  # registration.cpp:213, strict < on err
     n = source.capacity
-    n_valid = jnp.sum(source.mask.astype(jnp.float32))
+    key = jax.random.PRNGKey(seed)
 
-    corr = feature_correspondences(source_features, target_features)  # (N,)
-    p = source.points.astype(jnp.float32)
+    src_pts = source.points
+    src_mask = source.mask
+    src_desc = source_features.descriptors
+    use_sub = corr_mode == "subsample" or (
+        corr_mode == "auto" and n >= 2 * corr_cap
+    )
+    if use_sub:
+        vperm = jnp.argsort(~source.mask, stable=True)  # valid rows first
+        vcount = jnp.maximum(jnp.sum(source.mask.astype(jnp.int32)), 1)
+        rows = vperm[
+            jax.random.randint(
+                jax.random.fold_in(key, 2), (corr_cap,), 0, vcount
+            )
+        ]
+        src_pts = src_pts[rows]
+        src_mask = src_mask[rows]
+        src_desc = src_desc[rows]
+        n = corr_cap
+
+    n_valid = jnp.sum(src_mask.astype(jnp.float32))
+    corr = feature_correspondences(
+        FPFHFeatures(descriptors=src_desc, mask=src_mask), target_features
+    )  # (N,)
+    p = src_pts.astype(jnp.float32)
     q = target.points[corr].astype(jnp.float32)
 
     # --- hypothesis sampling (valid indices only) ---------------------------
     h_total = -(-max_iterations // chunk) * chunk  # pad to chunk multiple
-    key = jax.random.PRNGKey(seed)
-    perm = jnp.argsort(~source.mask, stable=True)  # valid rows first
-    count = jnp.maximum(jnp.sum(source.mask.astype(jnp.int32)), 1)
+    perm = jnp.argsort(~src_mask, stable=True)  # valid rows first
+    count = jnp.maximum(jnp.sum(src_mask.astype(jnp.int32)), 1)
     draws = jax.random.randint(key, (h_total, 3), 0, count)
     dup = (
         (draws[:, 0] == draws[:, 1])
@@ -118,7 +153,7 @@ def ransac_registration(
 
     # --- score: rank-15 expansion -------------------------------------------
     pq_norm = jnp.sum(p * p, axis=1) + jnp.sum(q * q, axis=1)  # (N,)
-    pq_norm = jnp.where(source.mask, pq_norm, 1e30)  # invalid rows never hit
+    pq_norm = jnp.where(src_mask, pq_norm, 1e30)  # invalid rows never hit
     feat = jnp.concatenate(
         [
             2.0 * p,

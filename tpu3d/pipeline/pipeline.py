@@ -526,6 +526,7 @@ class Pipeline:
         print(f"\n=== Pipeline complete: {total_ms:.1f} ms ===")
 
         if self.viewer is not None:
+            self.viewer.export_scene_json(self.viewer.json_path)
             self.viewer.export_html(self.viewer.html_path)
             print(f"Viewer scene written to {self.viewer.html_path}")
             self.viewer.stop()

@@ -3,24 +3,33 @@
 The reference GLViewer (src/gl_viewer.cpp, include/gl_viewer.hpp:22-29)
 offers: a render thread owning the GL context; a thread-safe scene store of
 named point clouds, named pose triads and one path; orbit camera (left-drag
-rotate with pitch clamped ±89°, middle-drag pan, scroll zoom). A TPU host is
-headless, so the same capability is delivered as:
+rotate with pitch clamped ±89°, middle-drag pan, scroll zoom); and the
+window is LIVE — worker threads push clouds/poses and the render loop
+repaints (gl_viewer.cpp:145-207). A TPU host is headless, so the same
+capability is delivered as:
 
   - the identical thread-safe scene store + dirty-flag API
     (``set_point_cloud`` / ``set_pose`` / ``set_path`` / ``clear``);
   - ``export_html``: a self-contained interactive WebGL viewer (vanilla JS,
-    zero external deps/egress) with the same orbit controls;
+    zero external deps/egress) with the same orbit controls, which TRACKS
+    the running pipeline: a watcher thread re-writes a ``scene.json``
+    sidecar whenever the scene mutates, and the page fetch-polls it (1 Hz)
+    and rebuilds its buffers in place. Where ``fetch`` is unavailable
+    (plain file:// in some browsers) the page falls back to self-reloading
+    with the camera persisted in localStorage — either way an open tab
+    shows the live scene with no user action;
+  - ``serve``: an optional zero-dependency localhost HTTP server for the
+    full fetch-poll experience;
   - ``export_png``: a static matplotlib snapshot for CI artifacts.
 
 ``start``/``stop``/``is_running`` keep the pipeline's viewer lifecycle
-(pipeline.cpp:296-316, 374-379) intact; ``start`` launches a watcher thread
-that re-exports the HTML whenever the scene changes, so a browser tab on the
-exported file acts as the live window.
+(pipeline.cpp:296-316, 374-379) intact.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import threading
 from typing import Dict, List, Optional
 
@@ -34,7 +43,8 @@ canvas{width:100%;height:100%;display:block}
 </head><body>
 <canvas id="c"></canvas><div id="hud"></div>
 <script>
-const SCENE = __SCENE_JSON__;
+let SCENE = __SCENE_JSON__;
+const JSON_NAME = __JSON_NAME__;
 const canvas = document.getElementById('c');
 const gl = canvas.getContext('webgl');
 const vs = `attribute vec3 p;attribute vec3 col;uniform mat4 mvp;
@@ -54,52 +64,62 @@ const locM = gl.getUniformLocation(prog,'mvp');
 const locS = gl.getUniformLocation(prog,'ps');
 function buf(arr){const b=gl.createBuffer();gl.bindBuffer(gl.ARRAY_BUFFER,b);
 gl.bufferData(gl.ARRAY_BUFFER,new Float32Array(arr),gl.STATIC_DRAW);return b;}
-const draws = [];
-let center=[0,0,0], n=0;
-for (const [name, cl] of Object.entries(SCENE.clouds)) {
-  draws.push({pb:buf(cl.points), cb:buf(cl.colors),
-              n:cl.points.length/3, mode:'points'});
-  for(let i=0;i<cl.points.length;i+=3){center[0]+=cl.points[i];
-    center[1]+=cl.points[i+1];center[2]+=cl.points[i+2];n++;}
+let draws = [];
+let center=[0,0,0];
+function rebuild(){
+  for(const d of draws){gl.deleteBuffer(d.pb);gl.deleteBuffer(d.cb);}
+  draws = []; center=[0,0,0]; let n=0;
+  for (const [name, cl] of Object.entries(SCENE.clouds)) {
+    draws.push({pb:buf(cl.points), cb:buf(cl.colors),
+                n:cl.points.length/3, mode:'points'});
+    for(let i=0;i<cl.points.length;i+=3){center[0]+=cl.points[i];
+      center[1]+=cl.points[i+1];center[2]+=cl.points[i+2];n++;}
+  }
+  if(n>0){center=center.map(v=>v/n);}
+  const AXLEN = 0.05;
+  for (const [name, T] of Object.entries(SCENE.poses)) {
+    const o=[T[3],T[7],T[11]]; const pts=[]; const cols=[];
+    for(let a=0;a<3;a++){const d=[T[a],T[4+a],T[8+a]];
+      pts.push(o[0],o[1],o[2],o[0]+AXLEN*d[0],o[1]+AXLEN*d[1],o[2]+AXLEN*d[2]);
+      const c=[[1,.2,.2],[.2,1,.2],[.3,.4,1]][a];
+      cols.push(...c,...c);}
+    draws.push({pb:buf(pts),cb:buf(cols),n:6,mode:'lines'});
+  }
+  if (SCENE.path.length>1){
+    const pts=[].concat(...SCENE.path); const cols=[];
+    for(let i=0;i<SCENE.path.length;i++)cols.push(1,1,0.2);
+    draws.push({pb:buf(pts),cb:buf(cols),n:SCENE.path.length,mode:'strip'});
+  }
 }
-if(n>0){center=center.map(v=>v/n);}
-const AXLEN = 0.05;
-for (const [name, T] of Object.entries(SCENE.poses)) {
-  const o=[T[3],T[7],T[11]]; const pts=[]; const cols=[];
-  for(let a=0;a<3;a++){const d=[T[a],T[4+a],T[8+a]];
-    pts.push(o[0],o[1],o[2],o[0]+AXLEN*d[0],o[1]+AXLEN*d[1],o[2]+AXLEN*d[2]);
-    const c=[[1,.2,.2],[.2,1,.2],[.3,.4,1]][a];
-    cols.push(...c,...c);}
-  draws.push({pb:buf(pts),cb:buf(cols),n:6,mode:'lines'});
-}
-if (SCENE.path.length>1){
-  const pts=[].concat(...SCENE.path); const cols=[];
-  for(let i=0;i<SCENE.path.length;i++)cols.push(1,1,0.2);
-  draws.push({pb:buf(pts),cb:buf(cols),n:SCENE.path.length,mode:'strip'});
-}
-let yaw=-0.5, pitch=0.5, dist=1.5, pan=[0,0];
+rebuild();
+// Camera state persists across reloads (the fetch-less fallback reloads).
+let cam = {yaw:-0.5, pitch:0.5, dist:1.5, pan:[0,0]};
+try{const s=localStorage.getItem('tpu3d_cam');if(s)cam=JSON.parse(s);}catch(e){}
+function saveCam(){try{localStorage.setItem('tpu3d_cam',
+  JSON.stringify(cam));}catch(e){}}
 let drag=null;
 canvas.addEventListener('mousedown',e=>{drag={b:e.button,x:e.clientX,y:e.clientY};});
 window.addEventListener('mouseup',()=>drag=null);
 window.addEventListener('mousemove',e=>{
   if(!drag)return; const dx=e.clientX-drag.x, dy=e.clientY-drag.y;
   drag.x=e.clientX; drag.y=e.clientY;
-  if(drag.b===0){yaw+=dx*0.01;pitch+=dy*0.01;
-    pitch=Math.max(-1.553,Math.min(1.553,pitch));}
-  else {pan[0]+=dx*0.002*dist; pan[1]-=dy*0.002*dist;}});
-canvas.addEventListener('wheel',e=>{dist*=Math.exp(e.deltaY*0.001);
-  dist=Math.max(0.1,dist);e.preventDefault();});
+  if(drag.b===0){cam.yaw+=dx*0.01;cam.pitch+=dy*0.01;
+    cam.pitch=Math.max(-1.553,Math.min(1.553,cam.pitch));}
+  else {cam.pan[0]+=dx*0.002*cam.dist; cam.pan[1]-=dy*0.002*cam.dist;}
+  saveCam();});
+canvas.addEventListener('wheel',e=>{cam.dist*=Math.exp(e.deltaY*0.001);
+  cam.dist=Math.max(0.1,cam.dist);saveCam();e.preventDefault();});
 canvas.addEventListener('contextmenu',e=>e.preventDefault());
 function mat(){
+  const yaw=cam.yaw, pitch=cam.pitch, dist=cam.dist, pan=cam.pan;
   const cy=Math.cos(yaw),sy=Math.sin(yaw),cp=Math.cos(pitch),sp=Math.sin(pitch);
   const eye=[center[0]+dist*cp*sy+pan[0], center[1]+dist*sp+pan[1],
              center[2]+dist*cp*cy];
   const tgt=[center[0]+pan[0],center[1]+pan[1],center[2]];
   let f=[tgt[0]-eye[0],tgt[1]-eye[1],tgt[2]-eye[2]];
   const fl=Math.hypot(...f); f=f.map(v=>v/fl);
-  let r=[f[1]*0-f[2]*1, f[2]*0-f[0]*0, f[0]*1-f[1]*0];
   const up0=[0,1,0];
-  r=[f[1]*up0[2]-f[2]*up0[1], f[2]*up0[0]-f[0]*up0[2], f[0]*up0[1]-f[1]*up0[0]];
+  let r=[f[1]*up0[2]-f[2]*up0[1], f[2]*up0[0]-f[0]*up0[2], f[0]*up0[1]-f[1]*up0[0]];
   const rl=Math.hypot(...r)||1; r=r.map(v=>v/rl);
   const u=[r[1]*f[2]-r[2]*f[1], r[2]*f[0]-r[0]*f[2], r[0]*f[1]-r[1]*f[0]];
   const V=[r[0],u[0],-f[0],0, r[1],u[1],-f[1],0, r[2],u[2],-f[2],0,
@@ -114,6 +134,29 @@ function mat(){
     M[j*4+i]+=P[k*4+i]*V[j*4+k];
   return M;
 }
+let live = 'static';
+// Live tracking: poll the scene.json sidecar the pipeline watcher
+// re-writes (gl_viewer.cpp:145-207 live-window parity). Where fetch is
+// unavailable (file:// origin), fall back to reloading the page — the
+// camera survives via localStorage.
+let reloadArmed = false;
+async function poll(){
+  try {
+    const r = await fetch(JSON_NAME + '?t=' + Date.now(),
+                          {cache:'no-store'});
+    if (r.ok) {
+      const s = await r.json();
+      if (s.version !== SCENE.version) { SCENE = s; rebuild(); }
+      live = 'live v' + SCENE.version;
+      return;
+    }
+  } catch(e) {}
+  if (!reloadArmed && location.protocol === 'file:') {
+    reloadArmed = true; live = 'reload-poll';
+    setInterval(()=>{saveCam(); location.reload();}, 3000);
+  }
+}
+setInterval(poll, 1000); poll();
 function frame(){
   canvas.width=canvas.clientWidth; canvas.height=canvas.clientHeight;
   gl.viewport(0,0,canvas.width,canvas.height);
@@ -133,7 +176,8 @@ function frame(){
                   d.mode==='lines'?gl.LINES:gl.LINE_STRIP,0,d.n);
   }
   document.getElementById('hud').textContent =
-    Object.keys(SCENE.clouds).join(' ') + '  |  drag: rotate, right-drag: pan, wheel: zoom';
+    Object.keys(SCENE.clouds).join(' ') + '  [' + live + ']' +
+    '  |  drag: rotate, right-drag: pan, wheel: zoom';
   requestAnimationFrame(frame);
 }
 frame();
@@ -148,11 +192,18 @@ class SceneViewer:
         self._poses: Dict[str, np.ndarray] = {}
         self._path: List[List[float]] = []
         self._dirty = False
+        self._version = 0  # bumped on every mutation; the page polls it
         self._running = False
         self._thread: Optional[threading.Thread] = None
         self._stop_evt = threading.Event()
+        self._server = None
         self.html_path = html_path
         self.max_points = max_points
+
+    @property
+    def json_path(self) -> str:
+        base, _ = os.path.splitext(self.html_path)
+        return base + ".json"
 
     # -- lifecycle (gl_viewer.hpp:22-24) ------------------------------------
     def start(self):
@@ -169,9 +220,34 @@ class SceneViewer:
         if self._thread is not None:
             self._thread.join(timeout=2.0)
             self._thread = None
+        if self._server is not None:
+            self._server.shutdown()
+            self._server = None
 
     def is_running(self) -> bool:
         return self._running
+
+    def serve(self, port: int = 0) -> int:
+        """Serve the viewer directory over localhost HTTP (zero deps) so
+        the page's fetch-poll works from any browser. Returns the bound
+        port. Optional — file:// viewing works too (reload fallback)."""
+        import functools
+        from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+        directory = os.path.dirname(os.path.abspath(self.html_path)) or "."
+        handler = functools.partial(
+            SimpleHTTPRequestHandler, directory=directory
+        )
+        self._server = ThreadingHTTPServer(("127.0.0.1", port), handler)
+        threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        ).start()
+        bound = self._server.server_address[1]
+        print(
+            f"tpu3d viewer: http://127.0.0.1:{bound}/"
+            f"{os.path.basename(self.html_path)}"
+        )
+        return bound
 
     def _watch(self):
         while not self._stop_evt.wait(0.5):
@@ -180,6 +256,7 @@ class SceneViewer:
                 self._dirty = False
             if dirty:
                 try:
+                    self.export_scene_json(self.json_path)
                     self.export_html(self.html_path)
                 except Exception as e:
                     print(f"Viewer export failed: {e}")
@@ -199,16 +276,19 @@ class SceneViewer:
                 "colors": np.asarray(colors, np.float32).reshape(-1, 3),
             }
             self._dirty = True
+            self._version += 1
 
     def set_pose(self, name: str, T: np.ndarray):
         with self._lock:
             self._poses[name] = np.asarray(T, np.float32).reshape(4, 4)
             self._dirty = True
+            self._version += 1
 
     def set_path(self, positions):
         with self._lock:
             self._path = [list(map(float, p)) for p in positions]
             self._dirty = True
+            self._version += 1
 
     def clear(self):
         with self._lock:
@@ -216,11 +296,13 @@ class SceneViewer:
             self._poses.clear()
             self._path = []
             self._dirty = True
+            self._version += 1
 
     # -- exports --------------------------------------------------------------
     def _scene_json(self) -> str:
         with self._lock:
             scene = {
+                "version": self._version,
                 "clouds": {
                     k: {
                         "points": np.round(v["points"], 5).ravel().tolist(),
@@ -233,8 +315,21 @@ class SceneViewer:
             }
         return json.dumps(scene)
 
+    def export_scene_json(self, path: str) -> str:
+        """Write the scene sidecar the live page polls. Atomic (tmp+rename)
+        so a mid-write poll never sees a torn file."""
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(self._scene_json())
+        os.replace(tmp, path)
+        return path
+
     def export_html(self, path: str) -> str:
-        html = _HTML_TEMPLATE.replace("__SCENE_JSON__", self._scene_json())
+        html = _HTML_TEMPLATE.replace(
+            "__SCENE_JSON__", self._scene_json()
+        ).replace(
+            "__JSON_NAME__", json.dumps(os.path.basename(self.json_path))
+        )
         with open(path, "w") as f:
             f.write(html)
         return path
