@@ -173,11 +173,15 @@ def main():
     tgt, tgt_feat = fused_prepare_features(
         PointCloud.from_numpy(tgt_np, capacity=n), jnp.float32(voxel * 5)
     )
+    from tpu3d.ops.icp import build_icp_target
+
+    tgt_index = jax.jit(build_icp_target)(tgt)
     src_cloud = PointCloud.from_numpy(src_np, capacity=n)
 
     def full_pair(src_pts, src_mask):
         """Per-instance registration work: normals + FPFH on the source,
-        RANSAC coarse, ICP fine (target features precomputed/amortized,
+        RANSAC coarse, ICP fine (target features AND the target's ICP slab
+        index precomputed/amortized — both are per-model structures,
         matching pipeline.cpp:291-294 vs :92-95)."""
         from tpu3d.ops.fused_features import fused_prepare_features
 
@@ -190,6 +194,7 @@ def main():
         refined = icp_refine(
             source, tgt, coarse.transformation, voxel * 0.4,
             max_iterations=icp_iters, point_to_plane=True,
+            target_index=tgt_index,
         )
         return refined.transformation, refined.fitness, refined.rmse
 

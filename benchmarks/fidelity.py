@@ -119,6 +119,61 @@ def main():
     report["ransac_fitness_oracle_same_T"] = float(fit_dev)
     ok &= abs(float(res.fitness) - float(fit_dev)) < 2.0 / len(src_pts)
 
+    # --- gate 1b: inlier set on the ACTUAL procedural demo fixture -------------
+    # The north-star gate names "the procedural demo scene"
+    # (pipeline.cpp:212-241: checkerboard floor + red box). Its planar
+    # geometry makes FPFH degenerate — fitness ≈ 0, identical to the
+    # reference's own demo behavior — but the device's selected transform,
+    # scored by the ORACLE on the device's own correspondences, must still
+    # reproduce the device fitness exactly (same inlier SET).
+    from tpu3d.models.procedural import (
+        generate_box_mask,
+        generate_reference_grid,
+        generate_scene,
+    )
+    from tpu3d.ops.deproject import deproject
+    from tpu3d.ops.voxel import compact
+    from tpu3d.registration import prepare_features
+
+    _, demo_depth, demo_K = generate_scene(320, 240, 1000.0)
+    demo_mask = generate_box_mask(320, 240) > 0
+    demo_m = np.where(demo_mask, demo_depth.astype(np.float32) / 1000.0, 0.0)
+    inst = deproject(
+        jnp.asarray(demo_m), None, jnp.asarray(demo_K, jnp.float32), 2.0
+    )
+    from tpu3d.config import RegistrationConfig
+
+    demo_cfg = RegistrationConfig(voxel_size=0.005)
+    inst_d = voxel_downsample(inst, jnp.float32(demo_cfg.voxel_size))
+    inst_d = compact(inst_d, 4096)
+    inst_c, inst_f = prepare_features(inst_d, demo_cfg, "auto")
+    ref_pts, _ = generate_reference_grid()
+    ref_d = compact(
+        voxel_downsample(
+            PointCloud.from_numpy(ref_pts), jnp.float32(demo_cfg.voxel_size)
+        ),
+        4096,
+    )
+    ref_c, ref_f = prepare_features(ref_d, demo_cfg, "auto")
+    demo_res = ransac_registration(
+        inst_c, ref_c, inst_f, ref_f, demo_cfg.voxel_size,
+        max_iterations=4096,
+    )
+    demo_T = np.asarray(demo_res.transformation)
+    demo_corr = np.asarray(feature_correspondences(inst_f, ref_f))
+    iv = np.asarray(inst_c.mask)
+    ip = np.asarray(inst_c.points)[iv]
+    qp = np.asarray(ref_c.points)[demo_corr][iv]
+    _, demo_fit_oracle, _ = oracle.score_hypothesis(
+        demo_T[:3, :3], demo_T[:3, 3], ip, qp, demo_cfg.voxel_size * 1.5
+    )
+    report["demo_fitness_device"] = float(demo_res.fitness)
+    report["demo_fitness_oracle_same_T"] = float(demo_fit_oracle)
+    n_demo = max(int(iv.sum()), 1)
+    ok &= (
+        abs(float(demo_res.fitness) - float(demo_fit_oracle)) < 2.0 / n_demo
+    )
+
     # --- gate 2: ICP pose error vs oracle from the same init -------------------
     T0 = np.eye(4, dtype=np.float32)
     thr = 0.03

@@ -344,9 +344,16 @@ def fused_prepare_features(
     ).reshape(-1, 33)[:n]
 
     # ---- back to original row order ----------------------------------------
-    inv = jnp.argsort(slab.sorted_orig)
-    normals = jnp.where(cloud.mask[:, None], normals_sorted[inv], 0.0)
-    fpfh = jnp.where(cloud.mask[:, None], fpfh_sorted[inv], 0.0)
+    # Permutation SCATTER (unique indices), not argsort+gather — one more
+    # 100k-row sort would cost ~8 ms on a v5e.
+    normals = jnp.zeros_like(normals_sorted).at[slab.sorted_orig].set(
+        normals_sorted, unique_indices=True, indices_are_sorted=False
+    )
+    fpfh = jnp.zeros_like(fpfh_sorted).at[slab.sorted_orig].set(
+        fpfh_sorted, unique_indices=True
+    )
+    normals = jnp.where(cloud.mask[:, None], normals, 0.0)
+    fpfh = jnp.where(cloud.mask[:, None], fpfh, 0.0)
     out = (
         cloud._replace(normals=normals),
         FPFHFeatures(descriptors=fpfh, mask=cloud.mask),

@@ -62,6 +62,28 @@ from tpu3d.types import PointCloud, RegistrationResult
 _BIG = jnp.float32(1e30)
 
 
+class IcpTargetIndex(NamedTuple):
+    """Per-target search structure, built ONCE and reusable across every
+    registration against the same target (the pipeline registers many
+    instances against one reference model, pipeline.cpp:321-339 — the
+    x-sort and the normals reorder are properties of the model, like its
+    FPFH, and amortize the same way)."""
+
+    slab: SlabIndex
+    nrm_sorted_t: jnp.ndarray | None  # f32[3, M] normals in slab order
+
+
+def build_icp_target(target: PointCloud) -> IcpTargetIndex:
+    """Precompute the slab index (+ slab-ordered normals) for a target."""
+    slab = build_slab(target.points, target.mask)
+    nrm = (
+        None
+        if target.normals is None
+        else target.normals[slab.sorted_orig].T
+    )
+    return IcpTargetIndex(slab=slab, nrm_sorted_t=nrm)
+
+
 class IcpStats(NamedTuple):
     """Sufficient statistics of one correspondence pass.
 
@@ -195,8 +217,7 @@ def gathered_stats_fn(
 
 
 def fused_slab_stats_fn(
-    slab: SlabIndex,
-    target_normals: jnp.ndarray | None,
+    index: IcpTargetIndex,
     src_pts: jnp.ndarray,
     smask: jnp.ndarray,
     thr,
@@ -211,15 +232,13 @@ def fused_slab_stats_fn(
     blocks stay slab-coherent; every reduction here is permutation
     invariant, so no un-sorting is needed.
     """
+    slab = index.slab
     thr_f = jnp.asarray(thr, jnp.float32)
     thr2 = thr_f * thr_f
     m = slab.sorted_points.shape[0]
     sub = min(sub, m)
     pts_t = slab.sorted_points_t  # (3, M)
-    if point_to_plane:
-        nrm_t = target_normals[slab.sorted_orig].T  # (3, M) slab order
-    else:
-        nrm_t = None
+    nrm_t = index.nrm_sorted_t if point_to_plane else None
 
     n = src_pts.shape[0]
     pad = (-n) % block
@@ -346,6 +365,7 @@ def icp_refine(
     cell_capacity: int = 16,
     block: int = 256,
     sub: int = 512,
+    target_index: IcpTargetIndex | None = None,
 ) -> RegistrationResult:
     """``nn_mode`` selects the correspondence backend — ALL exact for ICP's
     semantics (matches beyond the threshold are rejected anyway,
@@ -368,18 +388,23 @@ def icp_refine(
 
     if nn_mode == "slab":
         # Structures are built ONCE and reused every iteration (the target
-        # never moves; only the source transform changes). Re-order the
-        # source once by initial-transformed x so slab query blocks stay
-        # coherent for any input row order; every ICP reduction is
-        # permutation-invariant, so no un-sorting is needed.
-        slab = build_slab(target.points, target.mask)
+        # never moves; only the source transform changes) — or passed in
+        # prebuilt (``target_index``) when many sources register against
+        # the same target. Re-order the source once by initial-transformed
+        # x so slab query blocks stay coherent for any input row order;
+        # every ICP reduction is permutation-invariant, so no un-sorting is
+        # needed.
+        index = (
+            target_index
+            if target_index is not None
+            else build_icp_target(target)
+        )
         x0 = transform_points(initial_transform.astype(jnp.float32), src_pts)[
             :, 0
         ]
         order = jnp.argsort(jnp.where(smask, x0, jnp.float32(3e4)))
         stats = fused_slab_stats_fn(
-            slab,
-            target.normals if use_p2l else None,
+            index,
             src_pts[order],
             smask[order],
             thr,
