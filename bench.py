@@ -211,8 +211,10 @@ def main():
     log(f"pose error: rot {rot_err:.4f}, trans {trn_err:.5f} m")
     quality_ok = rot_err < 0.02 and trn_err < 0.005
 
+    # One flat program reducing to a scalar inside the jit (scalar readback
+    # is the only reliable sync on this PJRT platform).
     sync = jax.jit(
-        lambda p, m: jax.tree.map(jnp.sum, jitted(p, m)[0]).astype(jnp.float32)
+        lambda p, m: jnp.sum(full_pair(p, m)[0]).astype(jnp.float32)
     )
     float(sync(src_cloud.points, src_cloud.mask))
     times = []
