@@ -50,7 +50,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu3d.ops.normals import smallest_eigvec_3x3
-from tpu3d.ops.slab import SlabIndex, _block_slices, build_slab
+from tpu3d.ops.slab2 import block_windows, build_slab2
 from tpu3d.types import FPFHFeatures, PointCloud
 
 _BIG = jnp.float32(1e30)
@@ -78,72 +78,77 @@ def _bdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
 
 
-def _subtile_scan(m, lo_b, eff_b, sub, init, tile_fn):
-    """Run ``tile_fn(start, valid_fn, acc)`` over ceil(eff/sub) sub-tiles of
-    the slab window [lo_b, lo_b+eff_b). ``start`` is clamped into [0, m-sub];
-    ``valid_fn`` masks each slice row to exactly the rows this sub-tile OWNS
-    (absolute-row test), so clamping never double-counts."""
-    n_sub = (eff_b + sub - 1) // sub
+def _window_scan(m, lo_vec, len_vec, sub, init, tile_fn):
+    """Run ``tile_fn(start, own, acc)`` over every sub-tile of every
+    candidate window [lo_k, lo_k+len_k) (the slab2 per-block window list —
+    disjoint row ranges). ``start`` is clamped into [0, m-sub]; ``own``
+    masks each slice row to exactly the rows this sub-tile OWNS
+    (absolute-row test), so clamping never double-counts. Invalid target
+    rows need no mask: slab2 stores sentinel coordinates that fail every
+    d² gate."""
+    k_max = lo_vec.shape[0]
     col = jnp.arange(sub)
 
-    def body(t, acc):
-        own_lo = lo_b + t * sub
-        own_hi = lo_b + jnp.minimum(eff_b, (t + 1) * sub)
-        start = jnp.clip(own_lo, 0, m - sub)
-        row = start + col
+    def window(k, acc):
+        lo_b = lo_vec[k]
+        eff_b = len_vec[k]
+        n_sub = (eff_b + sub - 1) // sub
 
-        def valid(valid_sorted):
-            vs = jax.lax.dynamic_slice(valid_sorted, (start,), (sub,))
-            return vs & (row >= own_lo) & (row < own_hi)
+        def body(t, acc):
+            own_lo = lo_b + t * sub
+            own_hi = lo_b + jnp.minimum(eff_b, (t + 1) * sub)
+            start = jnp.clip(own_lo, 0, m - sub)
+            row = start + col
+            own = (row >= own_lo) & (row < own_hi)
+            return tile_fn(start, own, acc)
 
-        return tile_fn(start, valid, acc)
+        return jax.lax.fori_loop(0, n_sub, body, acc)
 
-    return jax.lax.fori_loop(0, n_sub, body, init)
+    return jax.lax.fori_loop(0, k_max, window, init)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("slice_cap", "block", "sub", "return_overflow"),
+    static_argnames=(
+        "slice_cap", "block", "sub", "return_overflow", "k_windows"
+    ),
 )
 def fused_prepare_features(
     cloud: PointCloud,
     radius,
     slice_cap: int | None = None,
-    block: int = 512,
-    sub: int = 1024,
+    block: int = 256,
+    sub: int = 512,
     return_overflow: bool = False,
+    k_windows: int = 6,
 ) -> tuple[PointCloud, FPFHFeatures]:
-    """Normals + FPFH for a cloud, fused slab sweeps, original row order.
+    """Normals + FPFH for a cloud, fused two-level slab sweeps, original
+    row order.
 
-    ``slice_cap`` optionally truncates each block's candidate window (None =
-    exact, the default — the dynamic sub-tile loop makes exactness free).
-    ``return_overflow`` appends a bool scalar: True when truncation was
-    active AND some window exceeded it (kept for API compatibility; always
-    False when slice_cap is None).
+    ``k_windows``: static per-block candidate-window count for the slab2
+    index (see ops/slab2.py) — results are exact for ANY value ≥ 2 (extra
+    buckets merge into an un-trimmed overflow window); it only tunes how
+    much y-trimming applies. ``slice_cap`` is accepted for API
+    compatibility and ignored (the sweeps are radius-exact unconditionally;
+    ``return_overflow`` appends a constant-False scalar).
     """
+    del slice_cap  # windows are exact for any occupancy
     r = jnp.asarray(radius, jnp.float32)
     r2 = r * r
-    slab = build_slab(cloud.points, cloud.mask)
+    slab = build_slab2(cloud.points, cloud.mask, 2.0 * r)
     m = slab.sorted_points.shape[0]
     sub = min(sub, m)
-    pts_t = slab.sorted_points_t  # (3, M) slab order
+    pts_t = slab.sorted_points_t  # (3, M) slab2 order
 
     pts = slab.sorted_points
     n = pts.shape[0]
     pad = (-n) % block
     qp = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=2.9e4)
     qb = qp.reshape(-1, block, 3)  # (nb, B, 3)
-    lo, length = _block_slices(slab, qb[..., 0], r)
-    if slice_cap is not None:
-        overflow = jnp.any(length > slice_cap)
-        eff = jnp.minimum(length, slice_cap)
-    else:
-        overflow = jnp.bool_(False)
-        eff = length
+    mb = jnp.pad(slab.valid_sorted, (0, pad)).reshape(-1, block)
+    lo, length = block_windows(slab, qb, mb, r, k_max=k_windows)
+    overflow = jnp.bool_(False)
     nb = qb.shape[0]
-    # Absolute sorted row of each query (for exact self-pair exclusion the
-    # d² >= 1e-16 gate already provides; kept implicit — see sweep B).
-    col = jnp.arange(sub)
 
     def d2_planes(qc, start):
         """(B, sub) squared distances + the dx/dy/dz planes, exact f32."""
@@ -153,17 +158,24 @@ def fused_prepare_features(
         dz = cand[2][None, :] - qc[:, 2:3]
         return cand, dx, dy, dz, dx * dx + dy * dy + dz * dz
 
+    def block_center(qc, qm):
+        """Block-local origin for f32 range — over VALID queries only
+        (slab2 stores 3e4-sentinel coords for invalid rows; averaging those
+        into a mixed block would put the centered coords ~1e4 from the
+        origin and wreck the angle/moment precision)."""
+        wq = qm.astype(jnp.float32)[:, None]
+        return jnp.sum(qc * wq, axis=0) / jnp.maximum(jnp.sum(wq), 1.0)
+
     # ---- sweep A: radius-PCA normals via MXU moments -----------------------
     def normals_block(args):
-        qc, lo_b, eff_b = args  # (B,3), (), ()
-        center = jnp.mean(qc, axis=0)  # block-local origin for f32 range
+        qc, qm, lo_vec, len_vec = args  # (B,3), (B,), (K,), (K,)
+        center = block_center(qc, qm)
         q = qc - center  # (B, 3)
 
-        def tile(start, valid, acc):
+        def tile(start, own, acc):
             mom, cnt = acc
             cand, dx, dy, dz, d2 = d2_planes(qc, start)
-            w = jnp.where(valid(slab.valid_sorted)[None, :] & (d2 <= r2),
-                          1.0, 0.0)  # (B, sub)
+            w = jnp.where(own[None, :] & (d2 <= r2), 1.0, 0.0)  # (B, sub)
             c = cand - center[:, None]  # (3, sub)
             feats = jnp.concatenate(
                 [
@@ -176,8 +188,8 @@ def fused_prepare_features(
             dm = _bdot(w[None], feats.T[None])[0]  # (B, 9)
             return mom + dm, cnt + jnp.sum(w, axis=1)
 
-        mom, cnt = _subtile_scan(
-            m, lo_b, eff_b, sub,
+        mom, cnt = _window_scan(
+            m, lo_vec, len_vec, sub,
             (jnp.zeros((block, 9), jnp.float32),
              jnp.zeros((block,), jnp.float32)),
             tile,
@@ -202,9 +214,9 @@ def fused_prepare_features(
         flip = jnp.sum(nrm * (-qc), axis=-1) < 0  # toward viewpoint/origin
         return jnp.where(flip[:, None], -nrm, nrm)
 
-    normals_sorted = jax.lax.map(normals_block, (qb, lo, eff)).reshape(
-        -1, 3
-    )[:n]
+    normals_sorted = jax.lax.map(
+        normals_block, (qb, mb, lo, length)
+    ).reshape(-1, 3)[:n]
     normals_t = normals_sorted.T  # (3, N) slab order
     # Per-point cross feature for the MXU alpha: b = p × n (raw, un-centered;
     # the block center correction is applied per block/sub-tile below).
@@ -220,8 +232,8 @@ def fused_prepare_features(
     thr = jnp.asarray(_BIN_THRESH, jnp.float32)  # (10,)
 
     def spfh_block(args):
-        qc, qn, lo_b, eff_b = args  # (B,3), (B,3), (), ()
-        center = jnp.mean(qc, axis=0)
+        qc, qm, qn, lo_vec, len_vec = args  # (B,3), (B,), (B,3), (K,), (K,)
+        center = block_center(qc, qm)
         ci = qc - center  # (B, 3) centered query coords
         # Row features: [n_i | b̃_i] with b̃ = (p − ctr) × n.
         bi = jnp.cross(ci, qn)  # (B, 3)
@@ -233,7 +245,7 @@ def fused_prepare_features(
             ]
         )  # (3, B, 6)
 
-        def tile(start, valid, acc):
+        def tile(start, own, acc):
             cum, cnt = acc
             cand, dx, dy, dz, d2 = d2_planes(qc, start)
             nj = jax.lax.dynamic_slice(normals_t, (0, start), (3, sub))
@@ -261,11 +273,7 @@ def fused_prepare_features(
             pin = mm[1]  # c_i·n_j
             anum = mm[2]  # alpha·d
 
-            contrib = (
-                valid(slab.valid_sorted)[None, :]
-                & (d2 <= r2)
-                & (d2 >= 1e-16)
-            )
+            contrib = own[None, :] & (d2 <= r2) & (d2 >= 1e-16)
             inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
             phi = (
                 qn[:, 0:1] * dx + qn[:, 1:2] * dy + qn[:, 2:3] * dz
@@ -286,8 +294,8 @@ def fused_prepare_features(
             ]
             return cum + jnp.stack(parts, axis=1), cnt + jnp.sum(cf, axis=1)
 
-        cum, cnt = _subtile_scan(
-            m, lo_b, eff_b, sub,
+        cum, cnt = _window_scan(
+            m, lo_vec, len_vec, sub,
             (jnp.zeros((block, 30), jnp.float32),
              jnp.zeros((block,), jnp.float32)),
             tile,
@@ -307,29 +315,25 @@ def fused_prepare_features(
         normals_sorted, ((0, pad), (0, 0))
     ).reshape(-1, block, 3)
     spfh_sorted = jax.lax.map(
-        spfh_block, (qb, qn_blocks, lo, eff)
+        spfh_block, (qb, mb, qn_blocks, lo, length)
     ).reshape(-1, 33)[:n]
     spfh_padded = spfh_sorted  # (N, 33) slab order
 
     # ---- sweep C: FPFH = own + Σ spfh_j / dist (one MXU matmul/sub-tile) ---
     def fpfh_block(args):
-        qc, qs, lo_b, eff_b = args  # (B,3), (B,33)
+        qc, qs, lo_vec, len_vec = args  # (B,3), (B,33), (K,), (K,)
 
-        def tile(start, valid, f):
+        def tile(start, own, f):
             cand, dx, dy, dz, d2 = d2_planes(qc, start)
             sj = jax.lax.dynamic_slice(spfh_padded, (start, 0), (sub, 33))
-            contrib = (
-                valid(slab.valid_sorted)[None, :]
-                & (d2 <= r2)
-                & (d2 >= 1e-16)
-            )
+            contrib = own[None, :] & (d2 <= r2) & (d2 >= 1e-16)
             wgt = jnp.where(
                 contrib, jax.lax.rsqrt(jnp.maximum(d2, 1e-24)), 0.0
             )
             return f + _bdot(wgt[None], sj[None])[0]
 
-        f = qs + _subtile_scan(
-            m, lo_b, eff_b, sub,
+        f = qs + _window_scan(
+            m, lo_vec, len_vec, sub,
             jnp.zeros((block, 33), jnp.float32),
             tile,
         )
@@ -340,7 +344,7 @@ def fused_prepare_features(
         spfh_sorted, ((0, pad), (0, 0))
     ).reshape(-1, block, 33)
     fpfh_sorted = jax.lax.map(
-        fpfh_block, (qb, qs_blocks, lo, eff)
+        fpfh_block, (qb, qs_blocks, lo, length)
     ).reshape(-1, 33)[:n]
 
     # ---- back to original row order ----------------------------------------

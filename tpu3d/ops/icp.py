@@ -224,6 +224,7 @@ def fused_slab_stats_fn(
     point_to_plane: bool,
     block: int = 256,
     sub: int = 512,
+    use_pallas: str | bool = "auto",
 ) -> Callable[[jnp.ndarray], IcpStats]:
     """The fused at-scale backend: correspondence search + normal-equation
     accumulation in one radius-exact slab sweep, zero global gathers.
@@ -231,6 +232,10 @@ def fused_slab_stats_fn(
     ``src_pts`` should be pre-sorted by (initial-transform) x so query
     blocks stay slab-coherent; every reduction here is permutation
     invariant, so no un-sorting is needed.
+
+    ``use_pallas``: route the p2plane pass through the single-kernel Pallas
+    implementation (ops/icp_pallas.py) — same semantics, one dispatch per
+    iteration instead of one per block. 'auto' = on TPU backends.
     """
     slab = index.slab
     thr_f = jnp.asarray(thr, jnp.float32)
@@ -246,6 +251,41 @@ def fused_slab_stats_fn(
     src_p = jnp.pad(src_pts, ((0, pad), (0, 0)))
     nb = (n + pad) // block
     col = jnp.arange(sub)
+
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and point_to_plane and nrm_t is not None:
+        from tpu3d.ops.icp_pallas import icp_p2plane_stats_pallas
+
+        npad = n + pad
+        # Sentinel coords for invalid target rows (the kernel carries no
+        # validity mask — huge d² keeps them out of every window min).
+        packed = jnp.concatenate(
+            [
+                jnp.where(slab.valid_sorted[None, :], pts_t, 3.0e4),
+                jnp.where(slab.valid_sorted[None, :], nrm_t, 0.0),
+            ],
+            axis=0,
+        )  # (6, M)
+        mrow = smask_p.astype(jnp.float32)[None, :]  # (1, Np)
+        zrows = jnp.zeros((4, npad), jnp.float32)
+
+        def stats_pallas(T: jnp.ndarray) -> IcpStats:
+            P = transform_points(T, src_p)  # (Np, 3)
+            qx = jnp.where(smask_p, P[:, 0], jnp.float32(2.9e4))
+            lo, length = _block_slices(slab, qx.reshape(nb, block), thr_f)
+            q8 = jnp.concatenate([P.T, mrow, zrows], axis=0)  # (8, Np)
+            parts = icp_p2plane_stats_pallas(
+                q8, packed, lo[:, None], length[:, None], thr2,
+                block=block, sub=sub,
+            )
+            s = jnp.sum(parts, axis=0)  # (48,)
+            out = _zeros_stats()
+            out["ata"] = s[:36].reshape(6, 6)
+            out["atb"] = s[36:42]
+            return IcpStats(n_corr=s[42], sum_d2=s[43], **out)
+
+        return stats_pallas
 
     def stats(T: jnp.ndarray) -> IcpStats:
         P = transform_points(T, src_p)  # (Np, 3) — padded rows masked below

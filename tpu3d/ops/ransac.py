@@ -69,7 +69,7 @@ def feature_correspondences(
 @functools.partial(
     jax.jit,
     static_argnames=("max_iterations", "chunk", "two_stage", "corr_cap",
-                     "corr_mode"),
+                     "corr_mode", "hyp_chunk", "early_exit"),
 )
 def ransac_registration(
     source: PointCloud,
@@ -84,6 +84,8 @@ def ransac_registration(
     two_stage: str | bool = "auto",
     corr_cap: int = 16384,
     corr_mode: str = "auto",
+    hyp_chunk: int = 16384,
+    early_exit: str | bool = "auto",
 ) -> RegistrationResult:
     """``two_stage``: score every hypothesis on a 16k-point subsample first,
     then re-score only the top 1024 on all points (exact fitness/rmse for
@@ -102,7 +104,21 @@ def ransac_registration(
     from and scored on the subset: pose quality is statistically unchanged
     and fitness/rmse become unbiased estimates with σ ≈ 0.4% at 16k — the
     same class of delta as ``two_stage``. 'exact' always matches every
-    source row (the reference's semantics, registration.cpp:216-232)."""
+    source row (the reference's semantics, registration.cpp:216-232).
+
+    ``early_exit``/``hyp_chunk``: the reference evaluates hypotheses
+    SEQUENTIALLY and breaks at the first one whose fitness exceeds
+    ``confidence`` (registration.cpp:284-290). The chunked path restores
+    that cost profile on device: hypotheses are generated, solved and
+    exactly scored ``hyp_chunk`` at a time inside a ``lax.while_loop`` that
+    stops after the first chunk containing an exceeding hypothesis — easy
+    scenes pay for ONE chunk instead of all ``max_iterations`` (the
+    prefix-best semantics are preserved exactly: within the exceed chunk
+    only the prefix up to the first exceed competes, and across chunks the
+    earliest of equal-fitness winners is kept). 'auto' enables it whenever
+    scoring is single-stage and there is more than one chunk; the
+    hypothesis stream differs from the one-shot path (per-chunk derived
+    keys), the same class of delta as any reseeding."""
     voxel_size = jnp.asarray(voxel_size, jnp.float32)
     thr2 = (voxel_size * 1.5) ** 2  # registration.cpp:213, strict < on err
     n = source.capacity
@@ -141,24 +157,34 @@ def ransac_registration(
     p = src_pts.astype(jnp.float32)
     q = target.points[corr].astype(jnp.float32)
 
-    # --- hypothesis sampling (valid indices only) ---------------------------
+    # --- hypothesis sampling machinery (valid indices only) -----------------
     h_total = -(-max_iterations // chunk) * chunk  # pad to chunk multiple
     perm = jnp.argsort(~src_mask, stable=True)  # valid rows first
     count = jnp.maximum(jnp.sum(src_mask.astype(jnp.int32)), 1)
-    draws = jax.random.randint(key, (h_total, 3), 0, count)
-    dup = (
-        (draws[:, 0] == draws[:, 1])
-        | (draws[:, 1] == draws[:, 2])
-        | (draws[:, 0] == draws[:, 2])
-    )
-    sample_idx = perm[draws]  # (H, 3) indices into capacity rows
-    h_ids = jnp.arange(h_total)
-    disabled = dup | (h_ids >= max_iterations)
 
-    # --- solve ALL hypotheses (closed form, no SVD) -------------------------
-    Rs, ts = kabsch_quat(p[sample_idx], q[sample_idx])  # (H,3,3), (H,3)
+    def solve_hypotheses(kc, h, first_id):
+        """Sample ``h`` 3-point hypotheses (duplicate indices rejected,
+        registration.cpp:239-240), QCP-solve, and pack the rank-15 scoring
+        factors. Returns (w16 (h,16), t_norm (h,), disabled (h,), Rs, ts)."""
+        draws = jax.random.randint(kc, (h, 3), 0, count)
+        dup = (
+            (draws[:, 0] == draws[:, 1])
+            | (draws[:, 1] == draws[:, 2])
+            | (draws[:, 0] == draws[:, 2])
+        )
+        ids = first_id + jnp.arange(h)
+        disabled = dup | (ids >= max_iterations)
+        sample_idx = perm[draws]  # (h, 3) indices into capacity rows
+        # Closed-form QCP solve — no batched SVD (registration.cpp:254-262).
+        Rs, ts = kabsch_quat(p[sample_idx], q[sample_idx])
+        u = jnp.einsum("hij,hi->hj", Rs, ts)  # Rᵀ t
+        w16 = jnp.concatenate(
+            [u, ts, Rs.reshape(-1, 9), jnp.zeros((h, 1), jnp.float32)],
+            axis=1,
+        )
+        return w16, jnp.sum(ts * ts, axis=1), disabled, Rs, ts
 
-    # --- score: rank-15 expansion -------------------------------------------
+    # --- point-side scoring factors (hypothesis independent) ----------------
     pq_norm = jnp.sum(p * p, axis=1) + jnp.sum(q * q, axis=1)  # (N,)
     pq_norm = jnp.where(src_mask, pq_norm, 1e30)  # invalid rows never hit
     feat = jnp.concatenate(
@@ -170,12 +196,6 @@ def ransac_registration(
         ],
         axis=1,
     )  # (N, 16)
-    u = jnp.einsum("hij,hi->hj", Rs, ts)  # Rᵀ t
-    w16 = jnp.concatenate(
-        [u, ts, Rs.reshape(-1, 9), jnp.zeros((h_total, 1), jnp.float32)],
-        axis=1,
-    )
-    t_norm = jnp.sum(ts * ts, axis=1)
 
     def score_all(feat_s, pq_s, w_s, tn_s):
         if jax.default_backend() == "tpu":
@@ -207,8 +227,78 @@ def ransac_registration(
     finalists = min(1024, h_total)
     if two_stage == "auto":
         two_stage = n >= 2 * sub_n and h_total > 4 * finalists
+    if early_exit == "auto":
+        use_chunked = (not two_stage) and max_iterations > hyp_chunk
+    else:
+        use_chunked = (
+            bool(early_exit)
+            and not two_stage
+            and max_iterations > hyp_chunk
+        )
 
-    if two_stage:
+    if use_chunked:
+        # --- sequential-chunk evaluation with the reference's early exit ----
+        n_chunks = -(-max_iterations // hyp_chunk)
+        hyp_key = jax.random.fold_in(key, 7)
+        id_w16 = jnp.concatenate(
+            [
+                jnp.zeros((6,), jnp.float32),
+                jnp.eye(3, dtype=jnp.float32).reshape(9),
+                jnp.zeros((1,), jnp.float32),
+            ]
+        )
+
+        def body(state):
+            c, _, bf, br, bw = state
+            w16, t_norm, disabled, _, _ = solve_hypotheses(
+                jax.random.fold_in(hyp_key, c), hyp_chunk, c * hyp_chunk
+            )
+            cnt, errsum = score_all(feat, pq_norm, w16, t_norm)
+            fitness = jnp.where(
+                disabled, -1.0, cnt / jnp.maximum(n_valid, 1.0)
+            )
+            # Early-exit prefix within the chunk (registration.cpp:284-290).
+            exceed = fitness > confidence
+            any_ex = jnp.any(exceed)
+            cutoff = jnp.where(any_ex, jnp.argmax(exceed), hyp_chunk - 1)
+            mf = jnp.where(jnp.arange(hyp_chunk) <= cutoff, fitness, -2.0)
+            lb = jnp.argmax(mf)  # first of equals == strict >
+            lf = mf[lb]
+            lr = jnp.where(
+                cnt[lb] > 0,
+                jnp.sqrt(errsum[lb] / jnp.maximum(cnt[lb], 1.0)),
+                999.0,
+            )
+            better = lf > bf  # strict: the earliest chunk keeps ties
+            return (
+                c + 1,
+                any_ex,
+                jnp.where(better, lf, bf),
+                jnp.where(better, lr, br),
+                jnp.where(better, w16[lb], bw),
+            )
+
+        def cond(state):
+            c, done = state[0], state[1]
+            return (c < n_chunks) & jnp.logical_not(done)
+
+        _, _, best_fitness, best_rmse, bw = jax.lax.while_loop(
+            cond,
+            body,
+            (
+                jnp.int32(0),
+                jnp.bool_(False),
+                jnp.float32(0.0),  # reference best_fitness default
+                jnp.float32(0.0),
+                id_w16,
+            ),
+        )
+        # w16 = [Rᵀt | t | vec(R) | 0] — recover the winning transform.
+        best_R = bw[6:15].reshape(3, 3)
+        best_t = bw[3:6]
+    elif two_stage:
+        w16, t_norm, disabled, Rs, ts = solve_hypotheses(key, h_total, 0)
+        h_ids = jnp.arange(h_total)
         # Stage 1: estimate fitness on a random point subsample.
         skey = jax.random.fold_in(key, 1)
         rows = perm[jax.random.randint(skey, (sub_n,), 0, count)]
@@ -235,7 +325,10 @@ def ransac_registration(
             jnp.sqrt(err2sum[best_f] / jnp.maximum(cnt2[best_f], 1.0)),
             999.0,
         )
+        best_R, best_t = Rs[best], ts[best]
     else:
+        w16, t_norm, disabled, Rs, ts = solve_hypotheses(key, h_total, 0)
+        h_ids = jnp.arange(h_total)
         cnt, errsum = score_all(feat, pq_norm, w16, t_norm)
         fitness = jnp.where(disabled, -1.0, cnt / jnp.maximum(n_valid, 1.0))
         rmse = jnp.where(
@@ -251,9 +344,10 @@ def ransac_registration(
         best = jnp.argmax(masked_fitness)  # first of equals == strict >
         best_fitness = fitness[best]
         best_rmse = rmse[best]
+        best_R, best_t = Rs[best], ts[best]
 
     won = best_fitness > 0.0  # reference: must beat the 0-fitness default
-    T = make_transform(Rs[best], ts[best])
+    T = make_transform(best_R, best_t)
     return RegistrationResult(
         transformation=jnp.where(won, T, jnp.eye(4, dtype=jnp.float32)),
         fitness=jnp.where(won, best_fitness, 0.0),

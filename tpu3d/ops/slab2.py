@@ -1,0 +1,185 @@
+"""Two-level slab index: x-buckets, y-sorted within each bucket.
+
+The 1-D slab (ops/slab.py) turns neighbor search into contiguous-slice
+scans, but its windows contain every point in a thin x-interval — for a
+radius-r query over a surface-like cloud that is ~50-100x more candidates
+than the true r-ball occupancy, all paid on the VPU. This index adds one
+more level: points are bucketed by x (bucket width ~2r) and sorted by y
+WITHIN each bucket, so a query block's candidates shrink to a few short
+y-runs — one per touched bucket — instead of one long x-run.
+
+Layout: a single int32 composite key ``bucket << 20 | qy`` (qy = y
+quantized to 20 bits over the cloud's y-extent) sorted once per cloud —
+the same single-sort cost as the 1-D slab. Both levels are then plain
+``searchsorted`` on the key array, and candidate windows remain contiguous
+row ranges (sequential DMA, no gather).
+
+Exactness: windows are supersets of the true r-ball by construction —
+bucket ranges cover [x−r, x+r] exactly (floor quantization is monotone),
+and the y bounds are widened to the quantization grid (monotone f32
+rounding keeps floor((y−ymin)·s) order-preserving, so no in-range point
+can quantize outside the window). The d² ≤ r² gate downstream does the
+rest. Blocks that straddle more buckets than the static window count K
+get one merged "overflow" window spanning the remaining buckets without
+y-trimming — a superset again, so results stay exact for ANY input
+distribution (degenerate-x clouds collapse to one bucket and are simply
+trimmed by y instead; degenerate-x-and-y clouds fall back to a full scan).
+
+This replaces the k-d tree the reference punts to (cuda/icp.cu:11-12) for
+the radius-neighborhood stages (FPFH prepare, registration.cpp:83-102).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_Y_BITS = 20
+_Y_MAX = (1 << _Y_BITS) - 1
+_NB_MAX = 2047  # bucket ids 0..2046 valid, 2047 = invalid sentinel
+_SENTINEL = jnp.float32(3.0e4)
+
+
+class Slab2Index(NamedTuple):
+    sorted_points: jnp.ndarray  # f32[M, 3] key-sorted; invalid rows = 3e4
+    sorted_points_t: jnp.ndarray  # f32[3, M] same, coordinate planes
+    sorted_orig: jnp.ndarray  # i32[M] original row of each sorted row
+    sorted_key: jnp.ndarray  # i32[M] ascending composite keys
+    valid_sorted: jnp.ndarray  # bool[M]
+    x0: jnp.ndarray  # f32 bucket origin (min valid x)
+    inv_w: jnp.ndarray  # f32 1 / bucket width
+    y0: jnp.ndarray  # f32 quantization origin (min valid y)
+    y_scale: jnp.ndarray  # f32 quantization scale
+
+
+def _bucket_of(x: jnp.ndarray, x0, inv_w) -> jnp.ndarray:
+    return jnp.clip(
+        jnp.floor((x - x0) * inv_w).astype(jnp.int32), 0, _NB_MAX - 1
+    )
+
+
+def _qy_of(y: jnp.ndarray, y0, y_scale) -> jnp.ndarray:
+    return jnp.clip(
+        jnp.floor((y - y0) * y_scale).astype(jnp.int32), 0, _Y_MAX
+    )
+
+
+def build_slab2(
+    points: jnp.ndarray, mask: jnp.ndarray, bucket_width
+) -> Slab2Index:
+    """One argsort of composite int32 keys — same cost as the 1-D slab's
+    x-sort. ``bucket_width`` should be ~2x the query radius; it is widened
+    automatically so at most 2047 buckets exist."""
+    pts = points.astype(jnp.float32)
+    x = jnp.where(mask, pts[:, 0], _SENTINEL)
+    y = jnp.where(mask, pts[:, 1], _SENTINEL)
+    x0 = jnp.min(x)
+    y0 = jnp.min(y)
+    xext = jnp.max(jnp.where(mask, pts[:, 0], -_SENTINEL)) - x0
+    yext = jnp.max(jnp.where(mask, pts[:, 1], -_SENTINEL)) - y0
+    w = jnp.maximum(
+        jnp.asarray(bucket_width, jnp.float32), xext / (_NB_MAX - 1)
+    )
+    inv_w = 1.0 / jnp.maximum(w, 1e-12)
+    y_scale = (_Y_MAX - 1) / jnp.maximum(yext, 1e-12)
+
+    bucket = jnp.where(mask, _bucket_of(pts[:, 0], x0, inv_w), _NB_MAX)
+    qy = jnp.where(mask, _qy_of(pts[:, 1], y0, y_scale), _Y_MAX)
+    key = (bucket << _Y_BITS) | qy  # ≤ 2^31 − 1, valid i32
+
+    order = jnp.argsort(key).astype(jnp.int32)
+    sorted_pts = jnp.where(
+        mask[order, None], pts[order], _SENTINEL
+    )  # sentinel coords: invalid rows miss every d² gate with no mask DMA
+    return Slab2Index(
+        sorted_points=sorted_pts,
+        sorted_points_t=sorted_pts.T,
+        sorted_orig=order,
+        sorted_key=key[order],
+        valid_sorted=mask[order],
+        x0=x0,
+        inv_w=inv_w,
+        y0=y0,
+        y_scale=y_scale,
+    )
+
+
+def query_keys(
+    index: Slab2Index, points: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Composite keys of QUERY points in the index's bucket/quantization
+    frame — sort queries by this so consecutive blocks stay window-coherent
+    (invalid rows key to the end)."""
+    pts = points.astype(jnp.float32)
+    bucket = jnp.where(
+        mask, _bucket_of(pts[:, 0], index.x0, index.inv_w), _NB_MAX
+    )
+    qy = jnp.where(mask, _qy_of(pts[:, 1], index.y0, index.y_scale), _Y_MAX)
+    return (bucket << _Y_BITS) | qy
+
+
+def block_windows(
+    index: Slab2Index,
+    q_blocks: jnp.ndarray,  # f32[nb, B, 3] query coords, block-coherent
+    m_blocks: jnp.ndarray,  # bool[nb, B]
+    radius,
+    k_max: int = 6,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-block candidate windows: (lo i32[nb, K], len i32[nb, K]).
+
+    Window k < K−1 covers bucket (b_lo + k) trimmed to the y-range of the
+    block's queries that can touch it (±radius, quantization-widened);
+    window K−1 merges any remaining buckets un-trimmed (exact superset).
+    Windows are disjoint row ranges, so sweep accumulations never double
+    count.
+    """
+    r = jnp.asarray(radius, jnp.float32)
+    qx, qy = q_blocks[..., 0], q_blocks[..., 1]
+    qb = _bucket_of(qx, index.x0, index.inv_w)  # (nb, B)
+    nb_r = jnp.ceil(r * index.inv_w).astype(jnp.int32)
+
+    b_min = jnp.min(jnp.where(m_blocks, qb, _NB_MAX), axis=1)
+    b_max = jnp.max(jnp.where(m_blocks, qb, -1), axis=1)
+    b_lo = jnp.maximum(b_min - nb_r, 0)  # (nb,)
+    b_hi = jnp.minimum(b_max + nb_r, _NB_MAX - 1)
+
+    ks = jnp.arange(k_max - 1, dtype=jnp.int32)  # trimmed windows
+    cand_b = b_lo[:, None] + ks[None, :]  # (nb, K-1)
+    # Queries that can touch bucket c: |bucket(q) − c| ≤ nb_r.
+    sel = (
+        m_blocks[:, None, :]
+        & (jnp.abs(qb[:, None, :] - cand_b[:, :, None]) <= nb_r)
+    )  # (nb, K-1, B)
+    big = jnp.float32(jnp.inf)
+    ylo = jnp.min(jnp.where(sel, qy[:, None, :], big), axis=2) - r
+    yhi = jnp.max(jnp.where(sel, qy[:, None, :], -big), axis=2) + r
+    qy_lo = _qy_of(ylo, index.y0, index.y_scale)
+    qy_hi = _qy_of(yhi, index.y0, index.y_scale)
+    key_lo = (cand_b << _Y_BITS) | qy_lo
+    key_hi = (cand_b << _Y_BITS) | qy_hi
+    empty = ~jnp.any(sel, axis=2) | (cand_b > b_hi[:, None])
+
+    # Overflow window: buckets [b_lo+K−1 .. b_hi] merged, no y trim.
+    c0 = b_lo + jnp.int32(k_max - 1)
+    of_lo = c0 << _Y_BITS
+    of_hi = (b_hi << _Y_BITS) | _Y_MAX
+    of_empty = b_hi < c0
+
+    skey = index.sorted_key
+    lo = jnp.searchsorted(skey, key_lo.ravel()).reshape(key_lo.shape)
+    hi = jnp.searchsorted(
+        skey, key_hi.ravel(), side="right"
+    ).reshape(key_hi.shape)
+    length = jnp.where(empty, 0, hi - lo)
+
+    lo_of = jnp.searchsorted(skey, of_lo)
+    hi_of = jnp.searchsorted(skey, of_hi, side="right")
+    len_of = jnp.where(of_empty, 0, hi_of - lo_of)
+
+    lo_all = jnp.concatenate([lo, lo_of[:, None]], axis=1).astype(jnp.int32)
+    len_all = jnp.concatenate([length, len_of[:, None]], axis=1).astype(
+        jnp.int32
+    )
+    return lo_all, len_all
