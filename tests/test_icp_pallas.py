@@ -76,7 +76,7 @@ def test_pallas_stats_match_gathered():
         q8, packed, lo[:, None], ln[:, None], thr * thr,
         block=block, sub=sub, interpret=True,
     )
-    s = np.asarray(jnp.sum(parts, axis=0))
+    s = np.asarray(jnp.sum(parts.reshape(-1, 8, 48), axis=0))
 
     def corr_fn(Pq):
         return nearest_neighbor(Pq, tgt.points, tgt.mask)
@@ -85,13 +85,13 @@ def test_pallas_stats_match_gathered():
         corr_fn, sp, sm, tgt.points, tgt.normals, thr, True
     )(T)
 
-    assert s[42] == float(ref_stats.n_corr)
-    np.testing.assert_allclose(s[43], float(ref_stats.sum_d2), rtol=1e-5)
+    assert s[6, 0] == float(ref_stats.n_corr)
+    np.testing.assert_allclose(s[6, 1], float(ref_stats.sum_d2), rtol=1e-5)
     np.testing.assert_allclose(
-        s[:36].reshape(6, 6), np.asarray(ref_stats.ata), rtol=2e-5, atol=1e-5
+        s[0:6, 0:6], np.asarray(ref_stats.ata), rtol=2e-5, atol=1e-5
     )
     np.testing.assert_allclose(
-        s[36:42], np.asarray(ref_stats.atb), rtol=2e-5, atol=1e-6
+        s[0:6, 6], np.asarray(ref_stats.atb), rtol=2e-5, atol=1e-6
     )
 
 

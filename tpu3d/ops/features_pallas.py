@@ -1,0 +1,344 @@
+"""Pallas windowed-sweep kernels for the fused normals+FPFH prepare.
+
+The XLA sweep path (ops/fused_features.py) pays per-(block x window x
+sub-tile) `lax.map`/`fori_loop` dispatch that dominates at 100k points
+(~1200 sequential loop steps per sweep, each a few µs of overhead around
+a few µs of VPU work). These kernels move each sweep into ONE
+`pallas_call` over a (n_blocks,) grid with the shared double-buffered
+window walk (ops/pallas_walk.py): DMA of packed candidate planes overlaps
+compute, and the only XLA-level work left is tiny glue (covariance →
+eigenvector, histogram assembly, normalization).
+
+Sweeps (math identical to the XLA engine, see fused_features.py docstring
+and src/registration.cpp:105-197 for reference semantics):
+  A moments_sweep:  per-query radius moment accumulation (MXU) → PCA
+                    normals outside.
+  B spfh_sweep:     MXU Darboux angle numerators + cumulative-compare
+                    histograms (30 counters/query).
+  C fpfh_sweep:     1/dist-weighted neighbor-SPFH sum (MXU matmul).
+
+Every kernel takes: scalar-prefetched (nb, K) window starts/lengths in the
+slab2 row space, a (8, Np) query operand (rows 0-2 coords, 3 mask,
+4-6 normals where needed), and a packed (R, M) HBM candidate operand whose
+invalid rows carry 3e4-sentinel coords (no validity mask needed — they
+fail every d² gate).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu3d.ops.pallas_walk import window_walk
+
+_BIG = 1e30
+# Bin thresholds: floor((x+1)*5.5) >= b  <=>  x >= b/5.5 - 1, b = 1..10.
+_BIN_THRESH = tuple(b / 5.5 - 1.0 for b in range(1, 11))
+
+# Theta thresholds, compare-only form (Mosaic has no atan2 lowering; theta
+# is only ever BINNED, so the value itself is never needed). With
+# theta = atan2(s, c) ∈ (−π, π] and α_b = π(b/5.5 − 1):
+#   [theta ≥ α_b] = (s ≥ 0) OR  u_ok   when α_b < 0
+#                 = (s ≥ 0) AND u_ok   when α_b > 0
+# where u_ok ⟺ s·cosα_b − c·sinα_b ≥ 0 ⟺ s ≥/≤ c·tanα_b by the static
+# sign of cosα_b (exact half-plane tests, same f32-boundary noise class as
+# binning an atan2 value).
+import math as _math
+
+_THETA_CMP = tuple(
+    (
+        _math.tan(_math.pi * t),  # k_b
+        _math.cos(_math.pi * t) > 0.0,  # cos sign
+        t < 0.0,  # alpha negative -> OR form
+    )
+    for t in _BIN_THRESH
+)
+
+
+def _split_q(q_ref):
+    """(8, B) query block -> per-coord (B, 1) columns + bool mask."""
+    qt = q_ref[:]
+    qx = qt[0:1, :].T
+    qy = qt[1:2, :].T
+    qz = qt[2:3, :].T
+    qm = qt[3:4, :].T > 0.5
+    return qt, qx, qy, qz, qm
+
+
+def _masked_center(qx, qy, qz, qm):
+    """Block-local origin over VALID queries (sentinel rows would wreck
+    the centered-coordinate precision — see fused_features.block_center)."""
+    wq = qm.astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(wq), 1.0)
+    return (
+        jnp.sum(qx * wq) / cnt,
+        jnp.sum(qy * wq) / cnt,
+        jnp.sum(qz * wq) / cnt,
+    )
+
+
+def _d2_planes(tile, qx, qy, qz):
+    dx = tile[0:1, :] - qx  # (B, sub)
+    dy = tile[1:2, :] - qy
+    dz = tile[2:3, :] - qz
+    return dx, dy, dz, dx * dx + dy * dy + dz * dz
+
+
+def _dot_sub(a, b):
+    """(B, sub) x (F, sub) -> (B, F), contracting the candidate axis."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+# --------------------------------------------------------------------------
+# Sweep A: radius-PCA moments
+# --------------------------------------------------------------------------
+
+
+def _moments_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
+                    cand, sems):
+    b = pl.program_id(0)
+    sub = cand.shape[2]
+    m = packed.shape[1]
+    r2 = scal_ref[0]
+    _, qx, qy, qz, qm = _split_q(q_ref)
+    bsz = qx.shape[0]
+    cx, cy, cz = _masked_center(qx, qy, qz, qm)
+
+    def tile_fn(tile, own, start, carry):
+        mom, cnt = carry
+        dx, dy, dz, d2 = _d2_planes(tile, qx, qy, qz)
+        w = jnp.where(own & (d2 <= r2), 1.0, 0.0)  # (B, sub)
+        c0 = tile[0:1, :] - cx  # (1, sub) centered candidate planes
+        c1 = tile[1:2, :] - cy
+        c2 = tile[2:3, :] - cz
+        feats = jnp.concatenate(
+            [c0, c1, c2, c0 * c0, c1 * c1, c2 * c2,
+             c0 * c1, c0 * c2, c1 * c2],
+            axis=0,
+        )  # (9, sub)
+        return mom + _dot_sub(w, feats), cnt + jnp.sum(w, 1, keepdims=True)
+
+    mom, cnt = window_walk(
+        lo_ref, len_ref, b, m, sub, packed, cand, sems, tile_fn,
+        (jnp.zeros((bsz, 9), jnp.float32), jnp.zeros((bsz, 1), jnp.float32)),
+    )
+    ctr = jnp.concatenate(
+        [jnp.full((bsz, 1), 0.0) + cx, jnp.full((bsz, 1), 0.0) + cy,
+         jnp.full((bsz, 1), 0.0) + cz],
+        axis=1,
+    )
+    out_ref[:] = jnp.concatenate(
+        [mom, cnt, ctr, jnp.zeros((bsz, 3), jnp.float32)], axis=1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block", "sub", "interpret"))
+def moments_sweep_pallas(q8, packed3, lo, ln, r2, block=256, sub=512,
+                         interpret=False):
+    """Returns (Np, 16): [moments(9) | count | block_center(3) | pad]."""
+    return _run_sweep(_moments_kernel, q8, packed3, lo, ln, (r2,), 16,
+                      block, sub, interpret)
+
+
+# --------------------------------------------------------------------------
+# Sweep B: SPFH cumulative-compare histograms
+# --------------------------------------------------------------------------
+
+
+def _spfh_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
+                 cand, sems):
+    b = pl.program_id(0)
+    sub = cand.shape[2]
+    m = packed.shape[1]
+    r2 = scal_ref[0]
+    qt, qx, qy, qz, qm = _split_q(q_ref)
+    bsz = qx.shape[0]
+    cx, cy, cz = _masked_center(qx, qy, qz, qm)
+    qnx = qt[4:5, :].T  # (B, 1) query normals
+    qny = qt[5:6, :].T
+    qnz = qt[6:7, :].T
+    # Centered query coords + b̃_i = (p_i − ctr) × n_i.
+    qcx, qcy, qcz = qx - cx, qy - cy, qz - cz
+    qbx = qcy * qnz - qcz * qny
+    qby = qcz * qnx - qcx * qnz
+    qbz = qcx * qny - qcy * qnx
+    qn3 = jnp.concatenate([qnx, qny, qnz], axis=1)  # (B, 3)
+    qc3 = jnp.concatenate([qcx, qcy, qcz], axis=1)
+    rows6 = jnp.concatenate([qn3, qbx, qby, qbz], axis=1)  # (B, 6)
+    rows_cn = jnp.concatenate([qn3, qc3], axis=0)  # (2B, 3)
+
+    def tile_fn(tile, own, start, carry):
+        cum, cnt = carry
+        dx, dy, dz, d2 = _d2_planes(tile, qx, qy, qz)
+        nj = tile[3:6, :]  # (3, sub)
+        cj0 = tile[0:1, :] - cx
+        cj1 = tile[1:2, :] - cy
+        cj2 = tile[2:3, :] - cz
+        # b̃_j = (p_j − ctr) × n_j, per-column planes.
+        bj0 = cj1 * nj[2:3, :] - cj2 * nj[1:2, :]
+        bj1 = cj2 * nj[0:1, :] - cj0 * nj[2:3, :]
+        bj2 = cj0 * nj[1:2, :] - cj1 * nj[0:1, :]
+        cols6 = jnp.concatenate([bj0, bj1, bj2, nj], axis=0)  # (6, sub)
+        mm2 = jax.lax.dot_general(
+            rows6, cols6, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (B, sub): alpha·d
+        mmcp = jax.lax.dot_general(
+            rows_cn, nj, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (2B, sub)
+        c = mmcp[:bsz, :]  # n_i·n_j
+        pin = mmcp[bsz:, :]  # c_i·n_j
+        aj = jnp.sum(
+            jnp.concatenate([cj0, cj1, cj2], 0) * nj, axis=0, keepdims=True
+        )  # (1, sub) = c_j·n_j
+        contrib = own & (d2 <= r2) & (d2 >= 1e-16)
+        inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
+        phi = (qnx * dx + qny * dy + qnz * dz) * inv_d
+        e = (aj - pin) * inv_d
+        alpha = mm2 * inv_d
+        s = phi * c - e  # theta = atan2(s, c), used compare-only
+
+        cf = contrib.astype(jnp.float32)
+        am = jnp.where(contrib, alpha, -_BIG)
+        pm = jnp.where(contrib, phi, -_BIG)
+        parts = [
+            jnp.sum((x >= t).astype(jnp.float32), axis=1, keepdims=True)
+            for x in (am, pm)
+            for t in _BIN_THRESH
+        ]
+        s_pos = s >= 0
+        for k_b, cos_pos, alpha_neg in _THETA_CMP:
+            ck = c * k_b
+            u_ok = (s >= ck) if cos_pos else (s <= ck)
+            bit = (s_pos | u_ok) if alpha_neg else (s_pos & u_ok)
+            parts.append(
+                jnp.sum((bit & contrib).astype(jnp.float32), axis=1,
+                        keepdims=True)
+            )
+        return (
+            cum + jnp.concatenate(parts, axis=1),
+            cnt + jnp.sum(cf, axis=1, keepdims=True),
+        )
+
+    cum, cnt = window_walk(
+        lo_ref, len_ref, b, m, sub, packed, cand, sems, tile_fn,
+        (jnp.zeros((bsz, 30), jnp.float32), jnp.zeros((bsz, 1), jnp.float32)),
+    )
+    out_ref[:] = jnp.concatenate(
+        [cum, cnt, jnp.zeros((bsz, 1), jnp.float32)], axis=1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block", "sub", "interpret"))
+def spfh_sweep_pallas(q8, packed6, lo, ln, r2, block=256, sub=512,
+                      interpret=False):
+    """Returns (Np, 32): [cum_alpha(10) | cum_phi(10) | cum_theta(10) |
+    count | pad]."""
+    return _run_sweep(_spfh_kernel, q8, packed6, lo, ln, (r2,), 32,
+                      block, sub, interpret)
+
+
+# --------------------------------------------------------------------------
+# Sweep C: FPFH weighted neighbor-SPFH sum
+# --------------------------------------------------------------------------
+
+
+def _fpfh_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
+                 cand, sems):
+    b = pl.program_id(0)
+    sub = cand.shape[2]
+    m = packed.shape[1]
+    r2 = scal_ref[0]
+    _, qx, qy, qz, qm = _split_q(q_ref)
+    bsz = qx.shape[0]
+
+    def tile_fn(tile, own, start, carry):
+        dx, dy, dz, d2 = _d2_planes(tile, qx, qy, qz)
+        contrib = own & (d2 <= r2) & (d2 >= 1e-16)
+        wgt = jnp.where(
+            contrib, jax.lax.rsqrt(jnp.maximum(d2, 1e-24)), 0.0
+        )  # (B, sub)
+        return carry + _dot_sub(wgt, tile[3:36, :])  # (B, 33)
+
+    f = window_walk(
+        lo_ref, len_ref, b, m, sub, packed, cand, sems, tile_fn,
+        jnp.zeros((bsz, 33), jnp.float32),
+    )
+    out_ref[:] = jnp.concatenate(
+        [f, jnp.zeros((bsz, 3), jnp.float32)], axis=1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block", "sub", "interpret"))
+def fpfh_sweep_pallas(q8, packed36, lo, ln, r2, block=256, sub=512,
+                      interpret=False):
+    """Returns (Np, 36): [weighted SPFH sum(33) | pad]."""
+    return _run_sweep(_fpfh_kernel, q8, packed36, lo, ln, (r2,), 36,
+                      block, sub, interpret)
+
+
+# --------------------------------------------------------------------------
+# Shared pallas_call plumbing
+# --------------------------------------------------------------------------
+
+
+def _run_sweep(kernel, q8, packed, lo, ln, scalars, out_w, block, sub,
+               interpret):
+    npad = q8.shape[1]
+    nb = npad // block
+    assert nb * block == npad, (npad, block)
+    sub = max(128, min(sub, -(-packed.shape[1] // 128) * 128))
+    assert sub % 128 == 0, sub
+    # Mosaic alignment: pad packed rows to a multiple of 8 (sublane
+    # tiling) and columns to a multiple of sub (the aligned tile grid).
+    # Zero padding is safe — padded rows/columns are never owned.
+    rpad = (-packed.shape[0]) % 8
+    cpad = (-packed.shape[1]) % sub
+    if rpad or cpad:
+        packed = jnp.pad(packed, ((0, rpad), (0, cpad)))
+    rows = packed.shape[0]
+    m = packed.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+            pl.BlockSpec((8, block), lambda b, lo, ln: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # packed candidate planes
+        ],
+        out_specs=pl.BlockSpec((block, out_w), lambda b, lo, ln: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, sub), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((npad, out_w), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(npad) * 2048 * 60,
+            bytes_accessed=int(npad) * 1024 * 4,
+            transcendentals=int(npad) * 2048,
+        ),
+        interpret=interpret,
+    )(
+        lo.astype(jnp.int32),
+        ln.astype(jnp.int32),
+        jnp.asarray(scalars, jnp.float32),
+        q8,
+        packed,
+    )

@@ -107,10 +107,70 @@ def _window_scan(m, lo_vec, len_vec, sub, init, tile_fn):
     return jax.lax.fori_loop(0, k_max, window, init)
 
 
+def _cov_from_moments(mom: jnp.ndarray, cnt: jnp.ndarray) -> jnp.ndarray:
+    """(N, 9) center-frame moment sums + (N,) counts -> (N, 3, 3) covariance
+    ([x y z x² y² z² xy xz yz] layout; covariance is translation invariant
+    so the block-center frame cancels)."""
+    cnt = jnp.maximum(cnt, 1.0)
+    mu = mom[:, :3] / cnt[:, None]
+    exx, eyy, ezz = mom[:, 3] / cnt, mom[:, 4] / cnt, mom[:, 5] / cnt
+    exy, exz, eyz = mom[:, 6] / cnt, mom[:, 7] / cnt, mom[:, 8] / cnt
+    return jnp.stack(
+        [
+            jnp.stack([exx - mu[:, 0] ** 2, exy - mu[:, 0] * mu[:, 1],
+                       exz - mu[:, 0] * mu[:, 2]], -1),
+            jnp.stack([exy - mu[:, 0] * mu[:, 1], eyy - mu[:, 1] ** 2,
+                       eyz - mu[:, 1] * mu[:, 2]], -1),
+            jnp.stack([exz - mu[:, 0] * mu[:, 2],
+                       eyz - mu[:, 1] * mu[:, 2],
+                       ezz - mu[:, 2] ** 2], -1),
+        ],
+        -2,
+    )
+
+
+def _scatter_back(cloud, slab, normals_sorted, fpfh_sorted, overflow,
+                  return_overflow):
+    """Slab-sorted normals/FPFH -> original row order, masked.
+
+    Permutation SCATTER (unique indices), not argsort+gather — one more
+    100k-row sort would cost ~8 ms on a v5e."""
+    normals = jnp.zeros_like(normals_sorted).at[slab.sorted_orig].set(
+        normals_sorted, unique_indices=True, indices_are_sorted=False
+    )
+    fpfh = jnp.zeros_like(fpfh_sorted).at[slab.sorted_orig].set(
+        fpfh_sorted, unique_indices=True
+    )
+    normals = jnp.where(cloud.mask[:, None], normals, 0.0)
+    fpfh = jnp.where(cloud.mask[:, None], fpfh, 0.0)
+    out = (
+        cloud._replace(normals=normals),
+        FPFHFeatures(descriptors=fpfh, mask=cloud.mask),
+    )
+    if return_overflow:
+        return out + (overflow,)
+    return out
+
+
+def _hist_from_cums(cum: jnp.ndarray, cnt: jnp.ndarray) -> jnp.ndarray:
+    """(N, 30) cumulative threshold counts + (N,) totals -> L1-normalized
+    (N, 33) SPFH (hist_b = cum_b − cum_{b+1}; cum_0 = count, cum_11 = 0)."""
+    cols_out = []
+    for a in range(3):
+        ca = cum[:, a * 10: (a + 1) * 10]
+        cols_out.append(cnt[:, None] - ca[:, 0:1])
+        cols_out.append(ca[:, :-1] - ca[:, 1:])
+        cols_out.append(ca[:, -1:])
+    hist = jnp.concatenate(cols_out, axis=1)  # (N, 33)
+    s = jnp.sum(hist, axis=1, keepdims=True)
+    return jnp.where(s > 0, hist / jnp.maximum(s, 1e-30), hist)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "slice_cap", "block", "sub", "return_overflow", "k_windows"
+        "slice_cap", "block", "sub", "return_overflow", "k_windows",
+        "engine", "interpret",
     ),
 )
 def fused_prepare_features(
@@ -121,6 +181,8 @@ def fused_prepare_features(
     sub: int = 512,
     return_overflow: bool = False,
     k_windows: int = 6,
+    engine: str = "auto",
+    interpret: bool = False,
 ) -> tuple[PointCloud, FPFHFeatures]:
     """Normals + FPFH for a cloud, fused two-level slab sweeps, original
     row order.
@@ -131,8 +193,14 @@ def fused_prepare_features(
     much y-trimming applies. ``slice_cap`` is accepted for API
     compatibility and ignored (the sweeps are radius-exact unconditionally;
     ``return_overflow`` appends a constant-False scalar).
+
+    ``engine``: 'pallas' runs the three sweeps as single Pallas kernels
+    (ops/features_pallas.py — one dispatch each instead of one per block);
+    'xla' is the lax.map formulation; 'auto' = pallas on TPU.
     """
     del slice_cap  # windows are exact for any occupancy
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
     r = jnp.asarray(radius, jnp.float32)
     r2 = r * r
     slab = build_slab2(cloud.points, cloud.mask, 2.0 * r)
@@ -149,6 +217,58 @@ def fused_prepare_features(
     lo, length = block_windows(slab, qb, mb, r, k_max=k_windows)
     overflow = jnp.bool_(False)
     nb = qb.shape[0]
+
+    if engine == "pallas":
+        from tpu3d.ops.features_pallas import (
+            fpfh_sweep_pallas,
+            moments_sweep_pallas,
+            spfh_sweep_pallas,
+        )
+
+        npad_total = n + pad
+        mrow = mb.reshape(1, -1).astype(jnp.float32)
+        coords = qp.T  # (3, Np) — padded queries at 2.9e4 match nothing
+        q8 = jnp.concatenate(
+            [coords, mrow, jnp.zeros((4, npad_total), jnp.float32)], axis=0
+        )
+        # Sweep A: moments -> covariance -> PCA normal (XLA glue).
+        momout = moments_sweep_pallas(
+            q8, pts_t, lo, length, r2, block=block, sub=sub,
+            interpret=interpret,
+        )[:n]
+        cov = _cov_from_moments(momout[:, :9], momout[:, 9])
+        nrm = smallest_eigvec_3x3(cov)
+        flip = jnp.sum(nrm * (-pts), axis=-1) < 0  # toward viewpoint/origin
+        normals_sorted = jnp.where(flip[:, None], -nrm, nrm)
+        # NaN-safe planes for invalid rows (their covariance is zeros).
+        nrm_clean = jnp.where(
+            slab.valid_sorted[:, None], normals_sorted, 0.0
+        )
+        # Sweep B: packed (coords | normals); queries carry their normal.
+        packed_b = jnp.concatenate([pts_t, nrm_clean.T], axis=0)  # (6, M)
+        qn_pad = jnp.pad(nrm_clean, ((0, pad), (0, 0))).T  # (3, Np)
+        q8n = jnp.concatenate(
+            [coords, mrow, qn_pad, jnp.zeros((1, npad_total), jnp.float32)],
+            axis=0,
+        )
+        spfhout = spfh_sweep_pallas(
+            q8n, packed_b, lo, length, r2, block=block, sub=sub,
+            interpret=interpret,
+        )[:n]
+        spfh_sorted = _hist_from_cums(spfhout[:, :30], spfhout[:, 30])
+        # Sweep C: packed (coords | SPFH planes).
+        packed_c = jnp.concatenate([pts_t, spfh_sorted.T], axis=0)  # (36, M)
+        wsum = fpfh_sweep_pallas(
+            q8, packed_c, lo, length, r2, block=block, sub=sub,
+            interpret=interpret,
+        )[:n, :33]
+        f = spfh_sorted + wsum
+        sf = jnp.sum(f, axis=1, keepdims=True)
+        fpfh_sorted = jnp.where(sf > 0, f / jnp.maximum(sf, 1e-30), f)
+        return _scatter_back(
+            cloud, slab, normals_sorted, fpfh_sorted, overflow,
+            return_overflow,
+        )
 
     def d2_planes(qc, start):
         """(B, sub) squared distances + the dx/dy/dz planes, exact f32."""
@@ -347,21 +467,6 @@ def fused_prepare_features(
         fpfh_block, (qb, qs_blocks, lo, length)
     ).reshape(-1, 33)[:n]
 
-    # ---- back to original row order ----------------------------------------
-    # Permutation SCATTER (unique indices), not argsort+gather — one more
-    # 100k-row sort would cost ~8 ms on a v5e.
-    normals = jnp.zeros_like(normals_sorted).at[slab.sorted_orig].set(
-        normals_sorted, unique_indices=True, indices_are_sorted=False
+    return _scatter_back(
+        cloud, slab, normals_sorted, fpfh_sorted, overflow, return_overflow
     )
-    fpfh = jnp.zeros_like(fpfh_sorted).at[slab.sorted_orig].set(
-        fpfh_sorted, unique_indices=True
-    )
-    normals = jnp.where(cloud.mask[:, None], normals, 0.0)
-    fpfh = jnp.where(cloud.mask[:, None], fpfh, 0.0)
-    out = (
-        cloud._replace(normals=normals),
-        FPFHFeatures(descriptors=fpfh, mask=cloud.mask),
-    )
-    if return_overflow:
-        return out + (overflow,)
-    return out

@@ -279,11 +279,11 @@ def fused_slab_stats_fn(
                 q8, packed, lo[:, None], length[:, None], thr2,
                 block=block, sub=sub,
             )
-            s = jnp.sum(parts, axis=0)  # (48,)
+            s = jnp.sum(parts.reshape(-1, 8, 48), axis=0)  # (8, 48)
             out = _zeros_stats()
-            out["ata"] = s[:36].reshape(6, 6)
-            out["atb"] = s[36:42]
-            return IcpStats(n_corr=s[42], sum_d2=s[43], **out)
+            out["ata"] = s[0:6, 0:6]
+            out["atb"] = s[0:6, 6]
+            return IcpStats(n_corr=s[6, 0], sum_d2=s[6, 1], **out)
 
         return stats_pallas
 

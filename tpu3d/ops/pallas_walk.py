@@ -1,0 +1,107 @@
+"""Shared in-kernel machinery: walk a block's slab windows in dynamic
+sub-tiles with double-buffered HBM→VMEM DMA.
+
+Every windowed sweep kernel (ICP stats, the three FPFH-prepare sweeps) has
+the same skeleton: per grid step (one query block), iterate the block's
+candidate windows [lo_k, lo_k+len_k) — disjoint row ranges of a sorted
+target layout — in ``sub``-wide tiles, DMAing one packed (R, sub) tile
+per step while computing on the previous one. The (window, sub-tile) pairs
+are linearized so buffering crosses window boundaries.
+
+Tiles live on the FIXED sub-aligned grid: window k touches grid tiles
+[lo_k // sub, cdiv(lo_k+len_k, sub)), and every DMA start is g*sub —
+Mosaic requires lane-dim slice offsets provably divisible by 128, and an
+arbitrary ``lo_k + t*sub`` start is not provable. The ``own`` mask trims
+each tile to the window's actual rows, so grid alignment never changes
+results (costs ≤ 1 extra tile per window). Callers must pad the packed
+operand's columns to a multiple of ``sub`` and its rows to a multiple
+of 8 (sublane tiling) — zero padding is safe, padded rows/columns are
+never owned.
+
+Used INSIDE Pallas kernels only (operates on refs and traced scalars).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def window_walk(
+    lo_ref,  # i32[nb, K] scalar-prefetch window starts (sorted rows)
+    len_ref,  # i32[nb, K] window lengths
+    b,  # grid-step block index
+    m: int,  # total sorted target columns (multiple of sub)
+    sub: int,  # sub-tile width (multiple of 128)
+    packed_hbm,  # (R, M) ref in ANY/HBM — the packed candidate planes
+    cand,  # (2, R, sub) VMEM scratch (double buffer)
+    sems,  # DMA semaphores (2,)
+    tile_fn,  # (tile_(R,sub), own_(1,sub), start, carry) -> carry
+    init,  # initial carry (pytree of arrays)
+):
+    """Returns the final carry after scanning every owned candidate row."""
+    k_max = lo_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1)
+
+    def get_dma(slot, start):
+        return pltpu.make_async_copy(
+            packed_hbm.at[:, pl.ds(start, sub)], cand.at[slot], sems.at[slot]
+        )
+
+    # Aligned grid-tile ranges per window.
+    g0s = [lo_ref[b, k] // sub for k in range(k_max)]
+    n_subs = [
+        jnp.where(
+            len_ref[b, k] > 0,
+            pl.cdiv(lo_ref[b, k] + len_ref[b, k], sub) - g0s[k],
+            0,
+        )
+        for k in range(k_max)
+    ]
+    total = n_subs[0]
+    for k in range(1, k_max):
+        total = total + n_subs[k]
+
+    def decode(i):
+        """Linear tile index -> (window k, grid tile g0_k + t). The settle
+        flag is STICKY: without it, a zero-length window after the owning
+        one re-advances k_acc (t_rem < 0 is still < n_subs)."""
+        k_acc = jnp.int32(0)
+        t_rem = i
+        g0 = g0s[0]
+        settled = jnp.bool_(False)
+        for k in range(k_max - 1):
+            here = settled | (t_rem < n_subs[k])
+            k_acc = jnp.where(here, k_acc, k_acc + 1)
+            g0 = jnp.where(here, g0, g0s[k + 1])
+            t_rem = jnp.where(here, t_rem, t_rem - n_subs[k])
+            settled = here
+        return k_acc, (g0 + t_rem) * sub
+
+    # Prologue DMA only when there is work (an unwaited start would leak
+    # its semaphore); with total == 0 the fori_loop below runs no bodies
+    # and the init carry passes through untouched.
+    @pl.when(total > 0)
+    def _prologue():
+        _, s0 = decode(jnp.int32(0))
+        get_dma(0, s0).start()
+
+    def body(i, carry):
+        slot = jax.lax.rem(i, 2)
+        k, start = decode(i)
+        own_lo = lo_ref[b, k]
+        own_hi = own_lo + len_ref[b, k]
+
+        @pl.when(i + 1 < total)
+        def _prefetch():
+            _, sn = decode(i + 1)
+            get_dma(1 - slot, sn).start()
+
+        get_dma(slot, start).wait()
+        row = col + start
+        own = (row >= own_lo) & (row < own_hi)  # (1, sub)
+        return tile_fn(cand[slot], own, start, carry)
+
+    return jax.lax.fori_loop(0, total, body, init)
