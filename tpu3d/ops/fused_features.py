@@ -177,10 +177,10 @@ def fused_prepare_features(
     cloud: PointCloud,
     radius,
     slice_cap: int | None = None,
-    block: int = 256,
-    sub: int = 512,
+    block: int | None = None,
+    sub: int | None = None,
     return_overflow: bool = False,
-    k_windows: int = 6,
+    k_windows: int | None = None,
     engine: str = "auto",
     interpret: bool = False,
 ) -> tuple[PointCloud, FPFHFeatures]:
@@ -201,9 +201,25 @@ def fused_prepare_features(
     del slice_cap  # windows are exact for any occupancy
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    # Per-engine tuning (v5e sweeps, BENCH_NOTES.md): the Pallas walk is
+    # cheapest with narrow blocks + radius-width buckets (half the window
+    # occupancy: 1511 vs 2940 rows/block at 100k pts), the XLA lax.map
+    # path amortizes its per-block dispatch with wide blocks. Results are
+    # exact under ANY of these knobs — they only move the work/overhead
+    # balance.
+    if engine == "pallas":
+        block = 128 if block is None else block
+        sub = 256 if sub is None else sub
+        k_windows = 10 if k_windows is None else k_windows
+        bucket_w = 1.0
+    else:
+        block = 256 if block is None else block
+        sub = 512 if sub is None else sub
+        k_windows = 6 if k_windows is None else k_windows
+        bucket_w = 2.0
     r = jnp.asarray(radius, jnp.float32)
     r2 = r * r
-    slab = build_slab2(cloud.points, cloud.mask, 2.0 * r)
+    slab = build_slab2(cloud.points, cloud.mask, bucket_w * r)
     m = slab.sorted_points.shape[0]
     sub = min(sub, m)
     pts_t = slab.sorted_points_t  # (3, M) slab2 order

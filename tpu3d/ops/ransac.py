@@ -131,23 +131,21 @@ def ransac_registration(
         corr_mode == "auto" and n >= 2 * corr_cap
     )
     if use_sub:
-        # Draw the u-th valid row via cumsum + searchsorted — no O(N log N)
-        # argsort of the full cloud (XLA sorts of 100k rows cost ~8 ms on a
-        # v5e; this whole subsample is cheaper than one of them).
-        cmask = jnp.cumsum(src_mask.astype(jnp.int32))
-        vcount = jnp.maximum(cmask[-1], 1)
-        u = (
-            jax.random.randint(
-                jax.random.fold_in(key, 2), (corr_cap,), 0, vcount
-            )
-            + 1
-        )
-        rows = jnp.clip(
-            jnp.searchsorted(cmask, u), 0, src_mask.shape[0] - 1
-        )
-        src_pts = src_pts[rows]
-        src_mask = src_mask[rows]
-        src_desc = src_desc[rows]
+        # Strided decimation, not a random-row gather: row k of the subset
+        # is source row k*stride — a reshape + major-axis slice, which TPU
+        # executes as a strided copy (a 16k-row random gather costs ~7 ms
+        # on a v5e, ~same as the whole feature NN). Source row order is
+        # sensor/raster order, so a fixed stride is spatially uniform; the
+        # subset keeps its own mask and fitness normalizes by the subset's
+        # valid count, so validity stays unbiased. Up to stride-1 trailing
+        # rows are never sampled (statistically immaterial at 16k draws).
+        stride = n // corr_cap  # >= 2 by the use_sub gate
+        take = stride * corr_cap
+        src_pts = src_pts[:take].reshape(corr_cap, stride, 3)[:, 0, :]
+        src_mask = src_mask[:take].reshape(corr_cap, stride)[:, 0]
+        src_desc = src_desc[:take].reshape(
+            corr_cap, stride, src_desc.shape[1]
+        )[:, 0, :]
         n = corr_cap
 
     n_valid = jnp.sum(src_mask.astype(jnp.float32))
@@ -165,7 +163,9 @@ def ransac_registration(
     def solve_hypotheses(kc, h, first_id):
         """Sample ``h`` 3-point hypotheses (duplicate indices rejected,
         registration.cpp:239-240), QCP-solve, and pack the rank-15 scoring
-        factors. Returns (w16 (h,16), t_norm (h,), disabled (h,), Rs, ts)."""
+        factors. Returns (w16t (16,h), t_norm (h,), disabled (h,), Rs, ts).
+        w16t is built K-major (16 rows of (h,) vectors) — an (h,16)
+        concat-then-transpose relayout costs real milliseconds on TPU."""
         draws = jax.random.randint(kc, (h, 3), 0, count)
         dup = (
             (draws[:, 0] == draws[:, 1])
@@ -178,48 +178,67 @@ def ransac_registration(
         # Closed-form QCP solve — no batched SVD (registration.cpp:254-262).
         Rs, ts = kabsch_quat(p[sample_idx], q[sample_idx])
         u = jnp.einsum("hij,hi->hj", Rs, ts)  # Rᵀ t
-        w16 = jnp.concatenate(
-            [u, ts, Rs.reshape(-1, 9), jnp.zeros((h, 1), jnp.float32)],
-            axis=1,
-        )
-        return w16, jnp.sum(ts * ts, axis=1), disabled, Rs, ts
+        w16t = jnp.stack(
+            [u[:, 0], u[:, 1], u[:, 2], ts[:, 0], ts[:, 1], ts[:, 2]]
+            + [Rs[:, i, j] for i in range(3) for j in range(3)]
+            + [jnp.zeros((h,), jnp.float32)]
+        )  # (16, h)
+        return w16t, jnp.sum(ts * ts, axis=1), disabled, Rs, ts
 
     # --- point-side scoring factors (hypothesis independent) ----------------
-    pq_norm = jnp.sum(p * p, axis=1) + jnp.sum(q * q, axis=1)  # (N,)
+    # K-major (16, N) layout: the 9 outer-product rows are plain (N,)
+    # elementwise products. The (N,3,1)x(N,1,3) broadcast form wastes
+    # 125/128 lanes and its (N,9) reshape is a relayout — measured 33 ms
+    # at 16k rows on a v5e, vs ~0 for this formulation.
+    px, py, pz = p[:, 0], p[:, 1], p[:, 2]
+    qx, qy, qz = q[:, 0], q[:, 1], q[:, 2]
+    pq_norm = px * px + py * py + pz * pz + qx * qx + qy * qy + qz * qz
     pq_norm = jnp.where(src_mask, pq_norm, 1e30)  # invalid rows never hit
-    feat = jnp.concatenate(
+    feat_t = jnp.stack(
         [
-            2.0 * p,
-            -2.0 * q,
-            -2.0 * (q[:, :, None] * p[:, None, :]).reshape(n, 9),
-            jnp.zeros((n, 1), jnp.float32),  # pad 15 → 16 for tiling
-        ],
-        axis=1,
-    )  # (N, 16)
+            2.0 * px, 2.0 * py, 2.0 * pz,
+            -2.0 * qx, -2.0 * qy, -2.0 * qz,
+            -2.0 * qx * px, -2.0 * qx * py, -2.0 * qx * pz,
+            -2.0 * qy * px, -2.0 * qy * py, -2.0 * qy * pz,
+            -2.0 * qz * px, -2.0 * qz * py, -2.0 * qz * pz,
+            jnp.zeros((n,), jnp.float32),  # pad 15 → 16 for tiling
+        ]
+    )  # (16, N) — rows 6-14 pair with vec(R) row-major in w16t
 
     def score_all(feat_s, pq_s, w_s, tn_s):
+        """feat_s (16, N) K-major; w_s (16, H) K-major."""
         if jax.default_backend() == "tpu":
             return score_hypotheses_pallas(feat_s, pq_s, w_s, tn_s, thr2)
 
         def score_chunk(args):
-            wc, tc = args  # (C, 16), (C,)
-            err2 = feat_s @ wc.T + pq_s[:, None] + tc[None, :]
+            wc, tc = args  # (16, C), (C,)
+            err2 = (
+                jax.lax.dot_general(
+                    feat_s, wc, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + pq_s[:, None]
+                + tc[None, :]
+            )
             inl = err2 < thr2
             return (
                 jnp.sum(inl.astype(jnp.float32), axis=0),
                 jnp.sum(jnp.where(inl, jnp.maximum(err2, 0.0), 0.0), axis=0),
             )
 
-        hh = w_s.shape[0]
+        hh = w_s.shape[1]
         cc = min(chunk, hh)
         pad_h = (-hh) % cc  # padded hypotheses score harmlessly (id transform)
         if pad_h:
-            w_s = jnp.pad(w_s, ((0, pad_h), (0, 0)))
+            w_s = jnp.pad(w_s, ((0, 0), (0, pad_h)))
             tn_s = jnp.pad(tn_s, (0, pad_h))
         n_chunks = (hh + pad_h) // cc
         c_, e_ = jax.lax.map(
             score_chunk,
-            (w_s.reshape(n_chunks, cc, 16), tn_s.reshape(n_chunks, cc)),
+            (
+                jnp.moveaxis(w_s.reshape(16, n_chunks, cc), 1, 0),
+                tn_s.reshape(n_chunks, cc),
+            ),
         )
         return c_.reshape(-1)[:hh], e_.reshape(-1)[:hh]
 
@@ -250,10 +269,10 @@ def ransac_registration(
 
         def body(state):
             c, _, bf, br, bw = state
-            w16, t_norm, disabled, _, _ = solve_hypotheses(
+            w16t, t_norm, disabled, _, _ = solve_hypotheses(
                 jax.random.fold_in(hyp_key, c), hyp_chunk, c * hyp_chunk
             )
-            cnt, errsum = score_all(feat, pq_norm, w16, t_norm)
+            cnt, errsum = score_all(feat_t, pq_norm, w16t, t_norm)
             fitness = jnp.where(
                 disabled, -1.0, cnt / jnp.maximum(n_valid, 1.0)
             )
@@ -275,7 +294,7 @@ def ransac_registration(
                 any_ex,
                 jnp.where(better, lf, bf),
                 jnp.where(better, lr, br),
-                jnp.where(better, w16[lb], bw),
+                jnp.where(better, w16t[:, lb], bw),
             )
 
         def cond(state):
@@ -297,12 +316,12 @@ def ransac_registration(
         best_R = bw[6:15].reshape(3, 3)
         best_t = bw[3:6]
     elif two_stage:
-        w16, t_norm, disabled, Rs, ts = solve_hypotheses(key, h_total, 0)
+        w16t, t_norm, disabled, Rs, ts = solve_hypotheses(key, h_total, 0)
         h_ids = jnp.arange(h_total)
         # Stage 1: estimate fitness on a random point subsample.
         skey = jax.random.fold_in(key, 1)
         rows = perm[jax.random.randint(skey, (sub_n,), 0, count)]
-        cnt1, _ = score_all(feat[rows], pq_norm[rows], w16, t_norm)
+        cnt1, _ = score_all(feat_t[:, rows], pq_norm[rows], w16t, t_norm)
         fit1 = jnp.where(disabled, -1.0, cnt1 / sub_n)
         # Early-exit prefix on the estimates (registration.cpp:284-290).
         exceed = fit1 > confidence
@@ -312,7 +331,7 @@ def ransac_registration(
         # Stage 2: exact scoring of the finalists.
         _, top_idx = jax.lax.top_k(fit1, finalists)
         cnt2, err2sum = score_all(
-            feat, pq_norm, w16[top_idx], t_norm[top_idx]
+            feat_t, pq_norm, w16t[:, top_idx], t_norm[top_idx]
         )
         fit2 = jnp.where(
             fit1[top_idx] <= -1.0, -1.0, cnt2 / jnp.maximum(n_valid, 1.0)
@@ -327,9 +346,9 @@ def ransac_registration(
         )
         best_R, best_t = Rs[best], ts[best]
     else:
-        w16, t_norm, disabled, Rs, ts = solve_hypotheses(key, h_total, 0)
+        w16t, t_norm, disabled, Rs, ts = solve_hypotheses(key, h_total, 0)
         h_ids = jnp.arange(h_total)
-        cnt, errsum = score_all(feat, pq_norm, w16, t_norm)
+        cnt, errsum = score_all(feat_t, pq_norm, w16t, t_norm)
         fitness = jnp.where(disabled, -1.0, cnt / jnp.maximum(n_valid, 1.0))
         rmse = jnp.where(
             cnt > 0, jnp.sqrt(errsum / jnp.maximum(cnt, 1.0)), 999.0

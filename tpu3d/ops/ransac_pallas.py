@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu3d.ops.precision import dot_bf16x3
+from tpu3d.ops.precision import dot_tt_bf16x3
 
 
 def _score_kernel(thr2_ref, feat_ref, pq_ref, w_ref, tn_ref,
@@ -31,8 +31,9 @@ def _score_kernel(thr2_ref, feat_ref, pq_ref, w_ref, tn_ref,
         acc_e[:] = jnp.zeros_like(acc_e)
 
     # bf16x3: f32-grade dot accuracy at half the MXU passes of HIGHEST —
-    # ample margin for the inlier compare at thr² ≈ 1e-5.
-    cross = dot_bf16x3(feat_ref[:], w_ref[:])  # (BN, BH)
+    # ample margin for the inlier compare at thr² ≈ 1e-5. Both operands
+    # arrive K-major (16, B*) so nothing upstream pays a dim-3/relayout.
+    cross = dot_tt_bf16x3(feat_ref[:], w_ref[:])  # (BN, BH)
     err2 = cross + pq_ref[:] + tn_ref[:]  # (BN,1) + (1,BH) broadcasts
     inl = err2 < thr2_ref[0]
     acc_c[0, :] += jnp.sum(inl.astype(jnp.float32), axis=0)
@@ -48,9 +49,9 @@ def _score_kernel(thr2_ref, feat_ref, pq_ref, w_ref, tn_ref,
     jax.jit, static_argnames=("block_n", "block_h", "interpret")
 )
 def score_hypotheses_pallas(
-    feat: jnp.ndarray,  # f32[N, 16] — rank-15 factors, zero-padded to 16
+    feat_t: jnp.ndarray,  # f32[16, N] — rank-15 factors, zero-padded to 16
     pq_norm: jnp.ndarray,  # f32[N] — ‖p‖²+‖q‖² (+1e30 on invalid rows)
-    w16: jnp.ndarray,  # f32[H, 16] — [Rᵀt, t, vec(R), 0]
+    w16t: jnp.ndarray,  # f32[16, H] — [Rᵀt, t, vec(R), 0] K-major
     t_norm: jnp.ndarray,  # f32[H] — ‖t_h‖²
     thr2,
     block_n: int = 2048,
@@ -58,15 +59,15 @@ def score_hypotheses_pallas(
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (inlier_count f32[H], err2_sum f32[H])."""
-    n, d = feat.shape
-    h = w16.shape[0]
+    d, n = feat_t.shape
+    h = w16t.shape[1]
     npad = (-n) % block_n
     hpad = (-h) % block_h
     if npad:
-        feat = jnp.pad(feat, ((0, npad), (0, 0)))
+        feat_t = jnp.pad(feat_t, ((0, 0), (0, npad)))
         pq_norm = jnp.pad(pq_norm, (0, npad), constant_values=1e30)
     if hpad:
-        w16 = jnp.pad(w16, ((0, hpad), (0, 0)))
+        w16t = jnp.pad(w16t, ((0, 0), (0, hpad)))
         t_norm = jnp.pad(t_norm, (0, hpad))
     np_, hp = n + npad, h + hpad
 
@@ -75,7 +76,7 @@ def score_hypotheses_pallas(
         grid=(hp // block_h, np_ // block_n),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # thr2 (1,)
-            pl.BlockSpec((block_n, d), lambda i, j: (j, 0),
+            pl.BlockSpec((d, block_n), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, 1), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -106,9 +107,9 @@ def score_hypotheses_pallas(
         interpret=interpret,
     )(
         jnp.asarray([thr2], jnp.float32),
-        feat,
+        feat_t,
         pq_norm[:, None],
-        w16.T,
+        w16t,
         t_norm[None, :],
     )
     return cnt[0, :h], err[0, :h]
