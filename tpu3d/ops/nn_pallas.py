@@ -48,6 +48,10 @@ def _nn_kernel(s_ref, t_ref, d_ref, i_ref, bd_ref, bi_ref, *, block_m: int,
     t = t_ref[:]  # (BM, 3)
     s = s_ref[:]  # (3, BN)
     if precision == "fast3":
+        # NOTE: a single bf16 pass ("fast1") was measured: 2.5x faster but
+        # true-inlier correspondence quality collapses 0.46 -> 0.03 on the
+        # bench pair — 4e-3 relative distance noise is NOT tie-class noise
+        # for 33-D FPFH. bf16x3 is the speed floor for this argmin.
         cross = dot_bf16x3(t, s)
     else:
         cross = jnp.dot(
