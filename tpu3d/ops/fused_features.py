@@ -49,7 +49,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from tpu3d.ops.normals import smallest_eigvec_3x3
+from tpu3d.ops.normals import (
+    smallest_eigvec_3x3,
+    smallest_eigvec_3x3_planes,
+)
 from tpu3d.ops.slab2 import block_windows, build_slab2
 from tpu3d.types import FPFHFeatures, PointCloud
 
@@ -105,28 +108,6 @@ def _window_scan(m, lo_vec, len_vec, sub, init, tile_fn):
         return jax.lax.fori_loop(0, n_sub, body, acc)
 
     return jax.lax.fori_loop(0, k_max, window, init)
-
-
-def _cov_from_moments(mom: jnp.ndarray, cnt: jnp.ndarray) -> jnp.ndarray:
-    """(N, 9) center-frame moment sums + (N,) counts -> (N, 3, 3) covariance
-    ([x y z x² y² z² xy xz yz] layout; covariance is translation invariant
-    so the block-center frame cancels)."""
-    cnt = jnp.maximum(cnt, 1.0)
-    mu = mom[:, :3] / cnt[:, None]
-    exx, eyy, ezz = mom[:, 3] / cnt, mom[:, 4] / cnt, mom[:, 5] / cnt
-    exy, exz, eyz = mom[:, 6] / cnt, mom[:, 7] / cnt, mom[:, 8] / cnt
-    return jnp.stack(
-        [
-            jnp.stack([exx - mu[:, 0] ** 2, exy - mu[:, 0] * mu[:, 1],
-                       exz - mu[:, 0] * mu[:, 2]], -1),
-            jnp.stack([exy - mu[:, 0] * mu[:, 1], eyy - mu[:, 1] ** 2,
-                       eyz - mu[:, 1] * mu[:, 2]], -1),
-            jnp.stack([exz - mu[:, 0] * mu[:, 2],
-                       eyz - mu[:, 1] * mu[:, 2],
-                       ezz - mu[:, 2] ** 2], -1),
-        ],
-        -2,
-    )
 
 
 def _scatter_back(cloud, slab, normals_sorted, fpfh_sorted, overflow,
@@ -247,21 +228,50 @@ def fused_prepare_features(
         q8 = jnp.concatenate(
             [coords, mrow, jnp.zeros((4, npad_total), jnp.float32)], axis=0
         )
-        # Sweep A: moments -> covariance -> PCA normal (XLA glue).
+        # Sweep A: moments -> covariance -> PCA normal, all plane-wise
+        # ((N, 3, 3)/(N, 9) layouts waste 125/128 lanes — see
+        # smallest_eigvec_3x3_planes).
         momout = moments_sweep_pallas(
             q8, pts_t, lo, length, r2, block=block, sub=sub,
             interpret=interpret,
         )[:n]
-        cov = _cov_from_moments(momout[:, :9], momout[:, 9])
-        nrm = smallest_eigvec_3x3(cov)
-        flip = jnp.sum(nrm * (-pts), axis=-1) < 0  # toward viewpoint/origin
-        normals_sorted = jnp.where(flip[:, None], -nrm, nrm)
+        cnt = jnp.maximum(momout[:, 9], 1.0)
+        mx, my, mz = (momout[:, k] / cnt for k in (0, 1, 2))
+        c00 = momout[:, 3] / cnt - mx * mx
+        c11 = momout[:, 4] / cnt - my * my
+        c22 = momout[:, 5] / cnt - mz * mz
+        c01 = momout[:, 6] / cnt - mx * my
+        c02 = momout[:, 7] / cnt - mx * mz
+        c12 = momout[:, 8] / cnt - my * mz
+        nx, ny, nz = smallest_eigvec_3x3_planes(c00, c01, c02, c11, c12, c22)
+        # Flip toward the viewpoint/origin (plane-wise).
+        flip = nx * pts[:, 0] + ny * pts[:, 1] + nz * pts[:, 2] > 0
+        sgn = jnp.where(flip, -1.0, 1.0)
+        nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+        normals_sorted = jnp.stack([nx, ny, nz], axis=1)
         # NaN-safe planes for invalid rows (their covariance is zeros).
         nrm_clean = jnp.where(
             slab.valid_sorted[:, None], normals_sorted, 0.0
         )
-        # Sweep B: packed (coords | normals); queries carry their normal.
-        packed_b = jnp.concatenate([pts_t, nrm_clean.T], axis=0)  # (6, M)
+        # Sweep B: packed [coords | b=p×n | n | a=p·n]; queries carry
+        # their normal (b_i/a_i are rebuilt in-kernel from those — cheap
+        # per-block, while the candidate side is per-PAIR work saved).
+        # Sentinel rows: n = 0 ⇒ b = 0, a = 0 — inert, and their 3e4
+        # coords fail every d² gate anyway.
+        nrm_t = nrm_clean.T  # (3, M)
+        b3 = jnp.stack(
+            [
+                pts_t[1] * nrm_t[2] - pts_t[2] * nrm_t[1],
+                pts_t[2] * nrm_t[0] - pts_t[0] * nrm_t[2],
+                pts_t[0] * nrm_t[1] - pts_t[1] * nrm_t[0],
+            ]
+        )
+        arow = (
+            pts_t[0] * nrm_t[0] + pts_t[1] * nrm_t[1] + pts_t[2] * nrm_t[2]
+        )
+        packed_b = jnp.concatenate(
+            [pts_t, b3, nrm_t, arow[None]], axis=0
+        )  # (10, M)
         qn_pad = jnp.pad(nrm_clean, ((0, pad), (0, 0))).T  # (3, Np)
         q8n = jnp.concatenate(
             [coords, mrow, qn_pad, jnp.zeros((1, npad_total), jnp.float32)],

