@@ -39,22 +39,27 @@ _BIG = 1e30
 # Bin thresholds: floor((x+1)*5.5) >= b  <=>  x >= b/5.5 - 1, b = 1..10.
 _BIN_THRESH = tuple(b / 5.5 - 1.0 for b in range(1, 11))
 
-# Theta thresholds, compare-only form (Mosaic has no atan2 lowering; theta
-# is only ever BINNED, so the value itself is never needed). With
-# theta = atan2(s, c) ∈ (−π, π] and α_b = π(b/5.5 − 1):
-#   [theta ≥ α_b] = (s ≥ 0) OR  u_ok   when α_b < 0
-#                 = (s ≥ 0) AND u_ok   when α_b > 0
-# where u_ok ⟺ s·cosα_b − c·sinα_b ≥ 0 ⟺ s ≥/≤ c·tanα_b by the static
-# sign of cosα_b (exact half-plane tests, same f32-boundary noise class as
-# binning an atan2 value).
+# Theta thresholds in DIAMOND-ANGLE space (Mosaic has no atan2 lowering;
+# theta is only ever BINNED, so any monotone surrogate of
+# theta = atan2(s, c) ∈ (−π, π] works). d(s, c) = u = s/(|s|+|c|) when
+# c ≥ 0, else sign(s)·2 − u — a continuous monotone bijection onto
+# (−2, 2], ~6 VPU ops once per pair, after which every bin boundary is a
+# single masked compare (same per-threshold cost as the alpha/phi bins;
+# the previous half-plane scheme cost ~6 ops per threshold). Boundary
+# rounding differs from atan2-binning only on the measure-zero threshold
+# set — the usual bin-boundary noise class.
 import math as _math
 
-_THETA_CMP = tuple(
-    (
-        _math.tan(_math.pi * t),  # k_b
-        _math.cos(_math.pi * t) > 0.0,  # cos sign
-        t < 0.0,  # alpha negative -> OR form
-    )
+
+def _diamond(s: float, c: float) -> float:
+    u = s / (abs(s) + abs(c))
+    if c >= 0.0:
+        return u
+    return (2.0 if s >= 0.0 else -2.0) - u
+
+
+_DIAMOND_THRESH = tuple(
+    _diamond(_math.sin(_math.pi * t), _math.cos(_math.pi * t))
     for t in _BIN_THRESH
 )
 
@@ -204,25 +209,22 @@ def _spfh_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
         phi = (qnx * dx + qny * dy + qnz * dz) * inv_d
         e = (aj - pin) * inv_d
         alpha = anum * inv_d
-        s = phi * c - e  # theta = atan2(s, c), used compare-only
+        s = phi * c - e  # theta = atan2(s, c), binned via diamond angle
+        u = s / jnp.maximum(jnp.abs(s) + jnp.abs(c), 1e-30)
+        dth = jnp.where(
+            c >= 0, u, jnp.where(s >= 0, 2.0, -2.0) - u
+        )  # monotone surrogate of theta, (−2, 2]
 
         cf = contrib.astype(jnp.float32)
         am = jnp.where(contrib, alpha, -_BIG)
         pm = jnp.where(contrib, phi, -_BIG)
+        tm = jnp.where(contrib, dth, -_BIG)
         parts = [
             jnp.sum((x >= t).astype(jnp.float32), axis=1, keepdims=True)
-            for x in (am, pm)
-            for t in _BIN_THRESH
+            for x, thresh in ((am, _BIN_THRESH), (pm, _BIN_THRESH),
+                              (tm, _DIAMOND_THRESH))
+            for t in thresh
         ]
-        s_pos = s >= 0
-        for k_b, cos_pos, alpha_neg in _THETA_CMP:
-            ck = c * k_b
-            u_ok = (s >= ck) if cos_pos else (s <= ck)
-            bit = (s_pos | u_ok) if alpha_neg else (s_pos & u_ok)
-            parts.append(
-                jnp.sum((bit & contrib).astype(jnp.float32), axis=1,
-                        keepdims=True)
-            )
         return (
             cum + jnp.concatenate(parts, axis=1),
             cnt + jnp.sum(cf, axis=1, keepdims=True),
