@@ -190,20 +190,24 @@ def ransac_registration(
     # elementwise products. The (N,3,1)x(N,1,3) broadcast form wastes
     # 125/128 lanes and its (N,9) reshape is a relayout — measured 33 ms
     # at 16k rows on a v5e, vs ~0 for this formulation.
-    px, py, pz = p[:, 0], p[:, 1], p[:, 2]
-    qx, qy, qz = q[:, 0], q[:, 1], q[:, 2]
-    pq_norm = px * px + py * py + pz * pz + qx * qx + qy * qy + qz * qz
-    pq_norm = jnp.where(src_mask, pq_norm, 1e30)  # invalid rows never hit
-    feat_t = jnp.stack(
-        [
-            2.0 * px, 2.0 * py, 2.0 * pz,
-            -2.0 * qx, -2.0 * qy, -2.0 * qz,
-            -2.0 * qx * px, -2.0 * qx * py, -2.0 * qx * pz,
-            -2.0 * qy * px, -2.0 * qy * py, -2.0 * qy * pz,
-            -2.0 * qz * px, -2.0 * qz * py, -2.0 * qz * pz,
-            jnp.zeros((n,), jnp.float32),  # pad 15 → 16 for tiling
-        ]
-    )  # (16, N) — rows 6-14 pair with vec(R) row-major in w16t
+    def build_factors(p_, q_, mask_):
+        px, py, pz = p_[:, 0], p_[:, 1], p_[:, 2]
+        qx, qy, qz = q_[:, 0], q_[:, 1], q_[:, 2]
+        pq = px * px + py * py + pz * pz + qx * qx + qy * qy + qz * qz
+        pq = jnp.where(mask_, pq, 1e30)  # invalid rows never hit
+        ft = jnp.stack(
+            [
+                2.0 * px, 2.0 * py, 2.0 * pz,
+                -2.0 * qx, -2.0 * qy, -2.0 * qz,
+                -2.0 * qx * px, -2.0 * qx * py, -2.0 * qx * pz,
+                -2.0 * qy * px, -2.0 * qy * py, -2.0 * qy * pz,
+                -2.0 * qz * px, -2.0 * qz * py, -2.0 * qz * pz,
+                jnp.zeros(p_.shape[:1], jnp.float32),  # pad 15 → 16
+            ]
+        )  # (16, N) — rows 6-14 pair with vec(R) row-major in w16t
+        return ft, pq
+
+    feat_t, pq_norm = build_factors(p, q, src_mask)
 
     def score_all(feat_s, pq_s, w_s, tn_s):
         """feat_s (16, N) K-major; w_s (16, H) K-major."""
@@ -266,28 +270,69 @@ def ransac_registration(
                 jnp.zeros((1,), jnp.float32),
             ]
         )
+        # In-chunk two-stage scoring: estimate every hypothesis on a
+        # strided ``est_cap``-point subset (σ ≈ 1.1% at 2048), exact-score
+        # only the chunk's top finalists. The early-exit cutoff and the
+        # winner PICK run on estimates (the same documented delta as
+        # ``two_stage``); the winner's reported fitness/rmse are exact.
+        est_cap = 2048
+        use_est = n >= 4 * est_cap
+        if use_est:
+            st_e = n // est_cap
+            tke = st_e * est_cap
+            p_e = p[:tke].reshape(est_cap, st_e, 3)[:, 0]
+            q_e = q[:tke].reshape(est_cap, st_e, 3)[:, 0]
+            m_e = src_mask[:tke].reshape(est_cap, st_e)[:, 0]
+            feat_e, pq_e = build_factors(p_e, q_e, m_e)
+            n_valid_e = jnp.maximum(jnp.sum(m_e.astype(jnp.float32)), 1.0)
+            k_fin = min(16, hyp_chunk)
 
         def body(state):
             c, _, bf, br, bw = state
             w16t, t_norm, disabled, _, _ = solve_hypotheses(
                 jax.random.fold_in(hyp_key, c), hyp_chunk, c * hyp_chunk
             )
-            cnt, errsum = score_all(feat_t, pq_norm, w16t, t_norm)
-            fitness = jnp.where(
-                disabled, -1.0, cnt / jnp.maximum(n_valid, 1.0)
-            )
+            if use_est:
+                cnt_e, _ = score_all(feat_e, pq_e, w16t, t_norm)
+                fitness = jnp.where(disabled, -1.0, cnt_e / n_valid_e)
+            else:
+                cnt, errsum = score_all(feat_t, pq_norm, w16t, t_norm)
+                fitness = jnp.where(
+                    disabled, -1.0, cnt / jnp.maximum(n_valid, 1.0)
+                )
             # Early-exit prefix within the chunk (registration.cpp:284-290).
             exceed = fitness > confidence
             any_ex = jnp.any(exceed)
             cutoff = jnp.where(any_ex, jnp.argmax(exceed), hyp_chunk - 1)
             mf = jnp.where(jnp.arange(hyp_chunk) <= cutoff, fitness, -2.0)
-            lb = jnp.argmax(mf)  # first of equals == strict >
-            lf = mf[lb]
-            lr = jnp.where(
-                cnt[lb] > 0,
-                jnp.sqrt(errsum[lb] / jnp.maximum(cnt[lb], 1.0)),
-                999.0,
-            )
+            if use_est:
+                # Exact rescore of the estimate top-k; ties in the exact
+                # pass resolve in estimate-rank order (statistical-delta
+                # class, like every other subsample decision here).
+                _, topk = jax.lax.top_k(mf, k_fin)
+                cnt_x, err_x = score_all(
+                    feat_t, pq_norm, w16t[:, topk], t_norm[topk]
+                )
+                fit_x = jnp.where(
+                    mf[topk] <= -1.0, mf[topk],
+                    cnt_x / jnp.maximum(n_valid, 1.0),
+                )
+                bi = jnp.argmax(fit_x)
+                lb = topk[bi]
+                lf = fit_x[bi]
+                lr = jnp.where(
+                    cnt_x[bi] > 0,
+                    jnp.sqrt(err_x[bi] / jnp.maximum(cnt_x[bi], 1.0)),
+                    999.0,
+                )
+            else:
+                lb = jnp.argmax(mf)  # first of equals == strict >
+                lf = mf[lb]
+                lr = jnp.where(
+                    cnt[lb] > 0,
+                    jnp.sqrt(errsum[lb] / jnp.maximum(cnt[lb], 1.0)),
+                    999.0,
+                )
             better = lf > bf  # strict: the earliest chunk keeps ties
             return (
                 c + 1,
