@@ -205,17 +205,15 @@ def fused_prepare_features(
     sub = min(sub, m)
     pts_t = slab.sorted_points_t  # (3, M) slab2 order
 
-    pts = slab.sorted_points
-    n = pts.shape[0]
+    n = m
     pad = (-n) % block
-    qp = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=2.9e4)
-    qb = qp.reshape(-1, block, 3)  # (nb, B, 3)
     mb = jnp.pad(slab.valid_sorted, (0, pad)).reshape(-1, block)
-    lo, length = block_windows(slab, qb, mb, r, k_max=k_windows)
     overflow = jnp.bool_(False)
-    nb = qb.shape[0]
 
     if engine == "pallas":
+        # Fully plane-based: queries, windows and normals all live in
+        # K-major (3, N)/(N,) layouts — the (N, 3) blocks the XLA engine
+        # uses waste 125/128 lanes and cost relayouts.
         from tpu3d.ops.features_pallas import (
             fpfh_sweep_pallas,
             moments_sweep_pallas,
@@ -223,8 +221,15 @@ def fused_prepare_features(
         )
 
         npad_total = n + pad
+        coords = jnp.pad(
+            pts_t, ((0, 0), (0, pad)), constant_values=2.9e4
+        )  # (3, Np) — padded queries at 2.9e4 match nothing
+        lo, length = block_windows(
+            slab,
+            (coords[0].reshape(-1, block), coords[1].reshape(-1, block)),
+            mb, r, k_max=k_windows,
+        )
         mrow = mb.reshape(1, -1).astype(jnp.float32)
-        coords = qp.T  # (3, Np) — padded queries at 2.9e4 match nothing
         q8 = jnp.concatenate(
             [coords, mrow, jnp.zeros((4, npad_total), jnp.float32)], axis=0
         )
@@ -244,21 +249,21 @@ def fused_prepare_features(
         c02 = momout[:, 7] / cnt - mx * mz
         c12 = momout[:, 8] / cnt - my * mz
         nx, ny, nz = smallest_eigvec_3x3_planes(c00, c01, c02, c11, c12, c22)
-        # Flip toward the viewpoint/origin (plane-wise).
-        flip = nx * pts[:, 0] + ny * pts[:, 1] + nz * pts[:, 2] > 0
-        sgn = jnp.where(flip, -1.0, 1.0)
+        # Flip toward the viewpoint/origin (plane-wise), and zero
+        # invalid rows (their covariance is zeros -> NaN-free planes;
+        # _scatter_back re-masks by cloud.mask anyway).
+        flip = nx * pts_t[0] + ny * pts_t[1] + nz * pts_t[2] > 0
+        sgn = jnp.where(
+            slab.valid_sorted, jnp.where(flip, -1.0, 1.0), 0.0
+        )
         nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
         normals_sorted = jnp.stack([nx, ny, nz], axis=1)
-        # NaN-safe planes for invalid rows (their covariance is zeros).
-        nrm_clean = jnp.where(
-            slab.valid_sorted[:, None], normals_sorted, 0.0
-        )
         # Sweep B: packed [coords | b=p×n | n | a=p·n]; queries carry
         # their normal (b_i/a_i are rebuilt in-kernel from those — cheap
         # per-block, while the candidate side is per-PAIR work saved).
         # Sentinel rows: n = 0 ⇒ b = 0, a = 0 — inert, and their 3e4
         # coords fail every d² gate anyway.
-        nrm_t = nrm_clean.T  # (3, M)
+        nrm_t = jnp.stack([nx, ny, nz])  # (3, M)
         b3 = jnp.stack(
             [
                 pts_t[1] * nrm_t[2] - pts_t[2] * nrm_t[1],
@@ -272,7 +277,7 @@ def fused_prepare_features(
         packed_b = jnp.concatenate(
             [pts_t, b3, nrm_t, arow[None]], axis=0
         )  # (10, M)
-        qn_pad = jnp.pad(nrm_clean, ((0, pad), (0, 0))).T  # (3, Np)
+        qn_pad = jnp.pad(nrm_t, ((0, 0), (0, pad)))  # (3, Np)
         q8n = jnp.concatenate(
             [coords, mrow, qn_pad, jnp.zeros((1, npad_total), jnp.float32)],
             axis=0,
@@ -295,6 +300,12 @@ def fused_prepare_features(
             cloud, slab, normals_sorted, fpfh_sorted, overflow,
             return_overflow,
         )
+
+    # --- XLA engine: (nb, B, 3) query blocks -------------------------------
+    pts = slab.sorted_points
+    qp = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=2.9e4)
+    qb = qp.reshape(-1, block, 3)  # (nb, B, 3)
+    lo, length = block_windows(slab, qb, mb, r, k_max=k_windows)
 
     def d2_planes(qc, start):
         """(B, sub) squared distances + the dx/dy/dz planes, exact f32."""

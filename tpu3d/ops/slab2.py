@@ -122,7 +122,7 @@ def query_keys(
 
 def block_windows(
     index: Slab2Index,
-    q_blocks: jnp.ndarray,  # f32[nb, B, 3] query coords, block-coherent
+    q_blocks: jnp.ndarray,  # f32[nb, B, 3] coords OR (qx, qy) (nb, B) planes
     m_blocks: jnp.ndarray,  # bool[nb, B]
     radius,
     k_max: int = 6,
@@ -134,9 +134,16 @@ def block_windows(
     window K−1 merges any remaining buckets un-trimmed (exact superset).
     Windows are disjoint row ranges, so sweep accumulations never double
     count.
+
+    ``q_blocks`` may be the (nb, B, 3) coordinate blocks or a tuple of
+    (qx, qy) planes — only x/y are consumed, and plane callers avoid
+    materializing an (N, 3) minor-dim-3 layout at all.
     """
     r = jnp.asarray(radius, jnp.float32)
-    qx, qy = q_blocks[..., 0], q_blocks[..., 1]
+    if isinstance(q_blocks, tuple):
+        qx, qy = q_blocks
+    else:
+        qx, qy = q_blocks[..., 0], q_blocks[..., 1]
     qb = _bucket_of(qx, index.x0, index.inv_w)  # (nb, B)
     nb_r = jnp.ceil(r * index.inv_w).astype(jnp.int32)
 
