@@ -320,8 +320,8 @@ def _run_sweep(kernel, q8, packed, lo, ln, scalars, out_w, block, sub,
         out_specs=pl.BlockSpec((block, out_w), lambda b, lo, ln: (b, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, sub), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, rows, sub), jnp.float32),  # 4-deep DMA pipeline
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     return pl.pallas_call(

@@ -175,8 +175,8 @@ def icp_p2plane_stats_pallas(
         out_specs=pl.BlockSpec((8, 48), lambda b, lo, ln: (b, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, sub), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, rows, sub), jnp.float32),  # 4-deep DMA pipeline
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     return pl.pallas_call(

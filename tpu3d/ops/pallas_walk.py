@@ -80,24 +80,34 @@ def window_walk(
             settled = here
         return k_acc, (g0 + t_rem) * sub
 
-    # Prologue DMA only when there is work (an unwaited start would leak
+    # Pipelined DMA, depth = number of scratch slots (4 hides issue
+    # latency on short-window walks where double buffering exposed ~1 µs
+    # per tile). Prologue starts the first depth-1 copies; the body at
+    # step i waits slot i%D and prefetches tile i+D-1 into its slot
+    # (that slot's previous tile was consumed at step i-1).
+    depth = cand.shape[0]
+
+    def start_tile(t):
+        _, s = decode(t)
+        get_dma(jax.lax.rem(t, depth), s).start()
+
+    # Prologue DMAs only for existing tiles (an unwaited start would leak
     # its semaphore); with total == 0 the fori_loop below runs no bodies
     # and the init carry passes through untouched.
-    @pl.when(total > 0)
-    def _prologue():
-        _, s0 = decode(jnp.int32(0))
-        get_dma(0, s0).start()
+    for t in range(depth - 1):
+        @pl.when(t < total)
+        def _prologue(t=t):
+            start_tile(jnp.int32(t))
 
     def body(i, carry):
-        slot = jax.lax.rem(i, 2)
+        slot = jax.lax.rem(i, depth)
         k, start = decode(i)
         own_lo = lo_ref[b, k]
         own_hi = own_lo + len_ref[b, k]
 
-        @pl.when(i + 1 < total)
+        @pl.when(i + depth - 1 < total)
         def _prefetch():
-            _, sn = decode(i + 1)
-            get_dma(1 - slot, sn).start()
+            start_tile(i + depth - 1)
 
         get_dma(slot, start).wait()
         row = col + start
