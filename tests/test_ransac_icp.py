@@ -229,3 +229,88 @@ def test_ransac_corr_subsample_recovers_pose(rng):
         np.testing.assert_allclose(T[:3, :3], R, atol=0.03)
         np.testing.assert_allclose(T[:3, 3], t, atol=0.015)
     assert abs(float(sub.fitness) - float(exact.fitness)) < 0.1
+
+
+def _rigid_pair(rng, n=2000):
+    xy = rng.uniform(-0.2, 0.2, size=(n, 2)).astype(np.float32)
+    z = 0.7 + 0.03 * np.sin(25 * xy[:, 0]) * np.cos(22 * xy[:, 1])
+    tgt_pts = np.column_stack([xy, z]).astype(np.float32)
+    aa = np.array([0.12, -0.1, 0.15])
+    th = np.linalg.norm(aa)
+    k = aa / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    R = (np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K).astype(
+        np.float32
+    )
+    t = np.array([0.02, -0.01, 0.03], np.float32)
+    src_pts = ((tgt_pts - t) @ R).astype(np.float32)
+    return src_pts, tgt_pts, R, t
+
+
+def test_ransac_chunked_estimate_scoring_recovers_pose(rng):
+    """The in-chunk estimate-then-exact-finalists path (est_cap active)
+    must recover the same pose as full exact chunk scoring; the winner's
+    reported fitness is exact in both."""
+    from tpu3d.ops.fused_features import fused_prepare_features
+    from tpu3d.ops.ransac import ransac_registration
+    from tpu3d.types import PointCloud
+
+    voxel = 0.006
+    src_pts, tgt_pts, R, t = _rigid_pair(rng)
+    src, sf = fused_prepare_features(
+        PointCloud.from_numpy(src_pts, capacity=2048), jnp.float32(voxel * 5)
+    )
+    tgt, tf = fused_prepare_features(
+        PointCloud.from_numpy(tgt_pts, capacity=2048), jnp.float32(voxel * 5)
+    )
+    common = dict(
+        max_iterations=4096, early_exit=True, hyp_chunk=1024,
+        corr_mode="exact", two_stage=False,
+    )
+    # est_cap=4096 > n/4 disables estimates; est_cap=256 activates them.
+    exact = ransac_registration(
+        src, tgt, sf, tf, voxel, est_cap=4096, **common
+    )
+    est = ransac_registration(
+        src, tgt, sf, tf, voxel, est_cap=256, **common
+    )
+    for res in (exact, est):
+        T = np.asarray(res.transformation)
+        assert float(res.fitness) > 0.75, float(res.fitness)
+        np.testing.assert_allclose(T[:3, :3], R, atol=0.03)
+        np.testing.assert_allclose(T[:3, 3], t, atol=0.015)
+    # Both fitness values are EXACT rescored numbers; they may pick
+    # different (equivalent) winners, so allow sampling-scale spread.
+    assert abs(float(est.fitness) - float(exact.fitness)) < 0.1
+
+
+def test_icp_source_subsample_matches_exact(rng):
+    """src_mode='subsample' iterates on a strided source subset — the
+    converged pose must agree with the exact run to ICP's tolerance."""
+    from tpu3d.ops.fused_features import fused_prepare_features
+    from tpu3d.ops.icp import icp_refine
+    from tpu3d.types import PointCloud
+
+    voxel = 0.006
+    src_pts, tgt_pts, R, t = _rigid_pair(rng, n=4000)
+    src, _ = fused_prepare_features(
+        PointCloud.from_numpy(src_pts, capacity=4096), jnp.float32(voxel * 5)
+    )
+    tgt, _ = fused_prepare_features(
+        PointCloud.from_numpy(tgt_pts, capacity=4096), jnp.float32(voxel * 5)
+    )
+    # Start near the truth (ICP's convergence basin).
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, :3] = R
+    T0[:3, 3] = t + np.float32([0.002, -0.001, 0.001])
+    kw = dict(max_iterations=100, point_to_plane=True, nn_mode="slab")
+    exact = icp_refine(src, tgt, jnp.asarray(T0), voxel * 2.0,
+                       src_mode="exact", **kw)
+    sub = icp_refine(src, tgt, jnp.asarray(T0), voxel * 2.0,
+                     src_mode="subsample", src_cap=1024, **kw)
+    Te = np.asarray(exact.transformation)
+    Ts = np.asarray(sub.transformation)
+    np.testing.assert_allclose(Ts[:3, :3], Te[:3, :3], atol=2e-3)
+    np.testing.assert_allclose(Ts[:3, 3], Te[:3, 3], atol=1e-3)
+    # Subset fitness is an unbiased estimate of the exact fitness.
+    assert abs(float(sub.fitness) - float(exact.fitness)) < 0.1

@@ -69,7 +69,7 @@ def feature_correspondences(
 @functools.partial(
     jax.jit,
     static_argnames=("max_iterations", "chunk", "two_stage", "corr_cap",
-                     "corr_mode", "hyp_chunk", "early_exit"),
+                     "corr_mode", "hyp_chunk", "early_exit", "est_cap"),
 )
 def ransac_registration(
     source: PointCloud,
@@ -86,6 +86,7 @@ def ransac_registration(
     corr_mode: str = "auto",
     hyp_chunk: int = 16384,
     early_exit: str | bool = "auto",
+    est_cap: int = 2048,
 ) -> RegistrationResult:
     """``two_stage``: score every hypothesis on a 16k-point subsample first,
     then re-score only the top 1024 on all points (exact fitness/rmse for
@@ -275,7 +276,6 @@ def ransac_registration(
         # only the chunk's top finalists. The early-exit cutoff and the
         # winner PICK run on estimates (the same documented delta as
         # ``two_stage``); the winner's reported fitness/rmse are exact.
-        est_cap = 2048
         use_est = n >= 4 * est_cap
         if use_est:
             st_e = n // est_cap
