@@ -80,38 +80,52 @@ def window_walk(
             settled = here
         return k_acc, (g0 + t_rem) * sub
 
-    # Pipelined DMA, depth = number of scratch slots (4 hides issue
-    # latency on short-window walks where double buffering exposed ~1 µs
-    # per tile). Prologue starts the first depth-1 copies; the body at
-    # step i waits slot i%D and prefetches tile i+D-1 into its slot
-    # (that slot's previous tile was consumed at step i-1).
+    # Pipelined DMA (depth = scratch slots, 4) + 2x-unrolled loop: the
+    # per-tile fixed cost (decode scalars, DMA wait, loop carry) is ~1 µs
+    # while small tiles carry ~0.1 µs of vector work — pairing two tiles
+    # per iteration halves that overhead. Leak-safety: tiles are indexed
+    # over total_even = total rounded up to even; the at-most-one padding
+    # tile aliases tile `total-1`'s DMA (started AND waited exactly once,
+    # contributes nothing through the `t < total` own-mask).
     depth = cand.shape[0]
+    total_even = (total + 1) & ~jnp.int32(1)
+
+    def clamped(t):
+        return jnp.minimum(t, jnp.maximum(total - 1, 0))
 
     def start_tile(t):
-        _, s = decode(t)
+        _, s = decode(clamped(t))
         get_dma(jax.lax.rem(t, depth), s).start()
 
-    # Prologue DMAs only for existing tiles (an unwaited start would leak
-    # its semaphore); with total == 0 the fori_loop below runs no bodies
-    # and the init carry passes through untouched.
-    for t in range(depth - 1):
-        @pl.when(t < total)
+    # Prologue DMAs only for existing (even-padded) tiles: with total == 0
+    # the fori_loop below runs no bodies and init passes through.
+    for t in range(2):
+        @pl.when(t < total_even)
         def _prologue(t=t):
             start_tile(jnp.int32(t))
 
-    def body(i, carry):
-        slot = jax.lax.rem(i, depth)
-        k, start = decode(i)
+    def one(t, carry):
+        """Wait + consume tile t (own-masked off if it is the pad tile)."""
+        k, start = decode(clamped(t))
         own_lo = lo_ref[b, k]
         own_hi = own_lo + len_ref[b, k]
-
-        @pl.when(i + depth - 1 < total)
-        def _prefetch():
-            start_tile(i + depth - 1)
-
-        get_dma(slot, start).wait()
+        get_dma(jax.lax.rem(t, depth), start).wait()
         row = col + start
-        own = (row >= own_lo) & (row < own_hi)  # (1, sub)
-        return tile_fn(cand[slot], own, start, carry)
+        own = (row >= own_lo) & (row < own_hi) & (t < total)  # (1, sub)
+        return tile_fn(cand[jax.lax.rem(t, depth)], own, start, carry)
 
-    return jax.lax.fori_loop(0, total, body, init)
+    def body(j, carry):
+        i = j * 2
+
+        @pl.when(i + 2 < total_even)
+        def _pf0():
+            start_tile(i + 2)
+
+        @pl.when(i + 3 < total_even)
+        def _pf1():
+            start_tile(i + 3)
+
+        carry = one(i, carry)
+        return one(i + 1, carry)
+
+    return jax.lax.fori_loop(0, total_even // 2, body, init)
