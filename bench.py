@@ -257,6 +257,8 @@ def run_extras(log):
     from tpu3d.types import FPFHFeatures, PointCloud
 
     # --- 1M-point scene: exact thresholded NN (the ICP inner loop) ---------
+    from tpu3d.ops.nn_walk import slab2_top1
+
     n1m = 1 << 20
     src_np, _, _, _ = make_pair(n1m, seed=5)
     pts = jnp.asarray(src_np[np.argsort(src_np[:, 0], kind="stable")])
@@ -267,6 +269,26 @@ def run_extras(log):
     t0 = time.time()
     float(f())
     log(f"extra: slab NN 1Mx1M (r=2mm): {(time.time()-t0)*1000:.0f} ms/pass")
+
+    raw = jnp.asarray(src_np)
+    f2 = jax.jit(
+        lambda: jnp.sum(
+            jnp.minimum(
+                slab2_top1(
+                    raw, mask, raw, mask, jnp.float32(0.002),
+                    block=512, sub=512, k_windows=8,
+                )[1],
+                1.0,
+            )
+        )
+    )
+    float(f2())
+    t0 = time.time()
+    float(f2())
+    log(
+        "extra: slab2+walk NN 1Mx1M (r=2mm, incl. BOTH index builds): "
+        f"{(time.time()-t0)*1000:.0f} ms/pass"
+    )
 
     # --- 64-instance batched bin picking ------------------------------------
     voxel = 0.005

@@ -108,7 +108,7 @@ def _dot_sub(a, b):
 
 
 def _moments_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
-                    cand, sems):
+                    cand, sems, *, k_max):
     b = pl.program_id(0)
     sub = cand.shape[2]
     m = packed.shape[1]
@@ -134,6 +134,7 @@ def _moments_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
     mom, cnt = window_walk(
         lo_ref, len_ref, b, m, sub, packed, cand, sems, tile_fn,
         (jnp.zeros((bsz, 9), jnp.float32), jnp.zeros((bsz, 1), jnp.float32)),
+        k_max=k_max,
     )
     ctr = jnp.concatenate(
         [jnp.full((bsz, 1), 0.0) + cx, jnp.full((bsz, 1), 0.0) + cy,
@@ -159,7 +160,7 @@ def moments_sweep_pallas(q8, packed3, lo, ln, r2, block=256, sub=512,
 
 
 def _spfh_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
-                 cand, sems):
+                 cand, sems, *, k_max):
     b = pl.program_id(0)
     sub = cand.shape[2]
     m = packed.shape[1]
@@ -233,6 +234,7 @@ def _spfh_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
     cum, cnt = window_walk(
         lo_ref, len_ref, b, m, sub, packed, cand, sems, tile_fn,
         (jnp.zeros((bsz, 30), jnp.float32), jnp.zeros((bsz, 1), jnp.float32)),
+        k_max=k_max,
     )
     out_ref[:] = jnp.concatenate(
         [cum, cnt, jnp.zeros((bsz, 1), jnp.float32)], axis=1
@@ -254,7 +256,7 @@ def spfh_sweep_pallas(q8, packed6, lo, ln, r2, block=256, sub=512,
 
 
 def _fpfh_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
-                 cand, sems):
+                 cand, sems, *, k_max):
     b = pl.program_id(0)
     sub = cand.shape[2]
     m = packed.shape[1]
@@ -273,6 +275,7 @@ def _fpfh_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
     f = window_walk(
         lo_ref, len_ref, b, m, sub, packed, cand, sems, tile_fn,
         jnp.zeros((bsz, 33), jnp.float32),
+        k_max=k_max,
     )
     out_ref[:] = jnp.concatenate(
         [f, jnp.zeros((bsz, 3), jnp.float32)], axis=1
@@ -308,6 +311,8 @@ def _run_sweep(kernel, q8, packed, lo, ln, scalars, out_w, block, sub,
         packed = jnp.pad(packed, ((0, rpad), (0, cpad)))
     rows = packed.shape[0]
     m = packed.shape[1]
+    k_max = lo.shape[1]
+    kernel = functools.partial(kernel, k_max=k_max)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
@@ -335,8 +340,8 @@ def _run_sweep(kernel, q8, packed, lo, ln, scalars, out_w, block, sub,
         ),
         interpret=interpret,
     )(
-        lo.astype(jnp.int32),
-        ln.astype(jnp.int32),
+        lo.astype(jnp.int32).ravel(),
+        ln.astype(jnp.int32).ravel(),
         jnp.asarray(scalars, jnp.float32),
         q8,
         packed,

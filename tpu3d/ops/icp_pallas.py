@@ -37,8 +37,8 @@ _BIG = 1e30  # python float: jnp constants would be captured by the kernel
 
 def _stats_kernel(
     # scalar prefetch
-    lo_ref,  # i32[nb, K]
-    len_ref,  # i32[nb, K]
+    lo_ref,  # i32[nb*K] flat window starts
+    len_ref,  # i32[nb*K] flat window lengths
     # inputs
     thr2_ref,  # f32[1] SMEM
     q_ref,  # f32[8, B] VMEM block: rows 0-2 = P.T, row 3 = mask
@@ -48,6 +48,8 @@ def _stats_kernel(
     # scratch
     cand,  # f32[2, 8, sub] double-buffered candidate tiles
     sems,  # DMA sems (2,)
+    *,
+    k_max,
 ):
     b = pl.program_id(0)
     sub = cand.shape[2]
@@ -95,6 +97,7 @@ def _stats_kernel(
     bd, bqx, bqy, bqz, bnx, bny, bnz = window_walk(
         lo_ref, len_ref, b, m, sub, packed_hbm, cand, sems, tile_fn,
         (jnp.full((bsz, 1), _BIG), z, z, z, z, z, z),
+        k_max=k_max,
     )
 
     # With zero windows the init carry passes through (bd = _BIG) and every
@@ -163,6 +166,7 @@ def icp_p2plane_stats_pallas(
     if rpad or cpad:
         packed = jnp.pad(packed, ((0, rpad), (0, cpad)))
     rows = packed.shape[0]
+    kernel = functools.partial(_stats_kernel, k_max=lo.shape[1])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
@@ -180,7 +184,7 @@ def icp_p2plane_stats_pallas(
         ],
     )
     return pl.pallas_call(
-        _stats_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb * 8, 48), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -190,8 +194,8 @@ def icp_p2plane_stats_pallas(
         ),
         interpret=interpret,
     )(
-        lo.astype(jnp.int32),
-        ln.astype(jnp.int32),
+        lo.astype(jnp.int32).ravel(),
+        ln.astype(jnp.int32).ravel(),
         jnp.asarray([thr2], jnp.float32),
         q8,
         packed,

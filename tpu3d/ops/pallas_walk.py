@@ -30,8 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def window_walk(
-    lo_ref,  # i32[nb, K] scalar-prefetch window starts (sorted rows)
-    len_ref,  # i32[nb, K] window lengths
+    lo_ref,  # i32[nb*K] scalar-prefetch window starts (sorted rows), FLAT
+    len_ref,  # i32[nb*K] window lengths, FLAT
     b,  # grid-step block index
     m: int,  # total sorted target columns (multiple of sub)
     sub: int,  # sub-tile width (multiple of 128)
@@ -40,9 +40,15 @@ def window_walk(
     sems,  # DMA semaphores (2,)
     tile_fn,  # (tile_(R,sub), own_(1,sub), start, carry) -> carry
     init,  # initial carry (pytree of arrays)
+    k_max: int,  # windows per block (lo/len are (nb, K) flattened)
 ):
-    """Returns the final carry after scanning every owned candidate row."""
-    k_max = lo_ref.shape[1]
+    """Returns the final carry after scanning every owned candidate row.
+
+    The window tables are FLAT 1-D SMEM operands indexed ``b*k_max + k``
+    — Mosaic pads a 2-D (nb, K) SMEM array's minor dim to 128 lanes,
+    which blows the 1 MB SMEM budget 64x at large nb (OOM at 1M points).
+    """
+    base = b * k_max
     col = jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1)
 
     def get_dma(slot, start):
@@ -51,11 +57,11 @@ def window_walk(
         )
 
     # Aligned grid-tile ranges per window.
-    g0s = [lo_ref[b, k] // sub for k in range(k_max)]
+    g0s = [lo_ref[base + k] // sub for k in range(k_max)]
     n_subs = [
         jnp.where(
-            len_ref[b, k] > 0,
-            pl.cdiv(lo_ref[b, k] + len_ref[b, k], sub) - g0s[k],
+            len_ref[base + k] > 0,
+            pl.cdiv(lo_ref[base + k] + len_ref[base + k], sub) - g0s[k],
             0,
         )
         for k in range(k_max)
@@ -107,8 +113,8 @@ def window_walk(
     def one(t, carry):
         """Wait + consume tile t (own-masked off if it is the pad tile)."""
         k, start = decode(clamped(t))
-        own_lo = lo_ref[b, k]
-        own_hi = own_lo + len_ref[b, k]
+        own_lo = lo_ref[base + k]
+        own_hi = own_lo + len_ref[base + k]
         get_dma(jax.lax.rem(t, depth), start).wait()
         row = col + start
         own = (row >= own_lo) & (row < own_hi) & (t < total)  # (1, sub)
