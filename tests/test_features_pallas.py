@@ -112,3 +112,15 @@ def test_pallas_sweeps_degenerate_x(rng):
     f1 = np.asarray(xf.descriptors)[:n]
     f2 = np.asarray(pf.descriptors)[:n]
     assert np.quantile(np.abs(f1 - f2).sum(axis=1), 0.95) < 2e-3
+
+
+def test_pallas_engine_odd_capacity(rng):
+    """Capacities that are not multiples of 128 (e.g. 200) used to crash
+    the Pallas wrappers on sub-alignment; the wrappers must self-clamp."""
+    pts = _surface(rng, 180)
+    cloud = PointCloud.from_numpy(pts, capacity=200)
+    c, f = fused_prepare_features(
+        cloud, jnp.float32(0.03), engine="pallas", interpret=True
+    )
+    sums = np.asarray(f.descriptors)[:180].sum(axis=1)
+    assert np.all((np.abs(sums - 1.0) < 1e-4) | (sums == 0.0))

@@ -314,3 +314,33 @@ def test_icp_source_subsample_matches_exact(rng):
     np.testing.assert_allclose(Ts[:3, 3], Te[:3, 3], atol=1e-3)
     # Subset fitness is an unbiased estimate of the exact fitness.
     assert abs(float(sub.fitness) - float(exact.fitness)) < 0.1
+
+
+def test_subsample_modes_fall_back_on_small_clouds(rng):
+    """Explicit 'subsample' modes on clouds smaller than the cap must fall
+    back to exact paths instead of computing a zero stride."""
+    from tpu3d.ops.fused_features import fused_prepare_features
+    from tpu3d.ops.icp import icp_refine
+    from tpu3d.ops.ransac import ransac_registration
+    from tpu3d.types import PointCloud
+
+    voxel = 0.006
+    src_pts, tgt_pts, R, t = _rigid_pair(rng, n=600)
+    src, sf = fused_prepare_features(
+        PointCloud.from_numpy(src_pts, capacity=1024), jnp.float32(voxel * 5)
+    )
+    tgt, tf = fused_prepare_features(
+        PointCloud.from_numpy(tgt_pts, capacity=1024), jnp.float32(voxel * 5)
+    )
+    res = ransac_registration(
+        src, tgt, sf, tf, voxel, max_iterations=2048, corr_mode="subsample"
+    )
+    assert float(res.fitness) > 0.5
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, :3] = R
+    T0[:3, 3] = t
+    ref = icp_refine(
+        src, tgt, jnp.asarray(T0), voxel * 2.0, max_iterations=20,
+        nn_mode="slab", src_mode="subsample",
+    )
+    assert float(ref.fitness) > 0.9

@@ -111,7 +111,6 @@ def _moments_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
                     cand, sems, *, k_max):
     b = pl.program_id(0)
     sub = cand.shape[2]
-    m = packed.shape[1]
     r2 = scal_ref[0]
     _, qx, qy, qz, qm = _split_q(q_ref)
     bsz = qx.shape[0]
@@ -132,24 +131,20 @@ def _moments_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
         return mom + _dot_sub(w, feats), cnt + jnp.sum(w, 1, keepdims=True)
 
     mom, cnt = window_walk(
-        lo_ref, len_ref, b, m, sub, packed, cand, sems, tile_fn,
+        lo_ref, len_ref, b, sub, packed, cand, sems, tile_fn,
         (jnp.zeros((bsz, 9), jnp.float32), jnp.zeros((bsz, 1), jnp.float32)),
         k_max=k_max,
     )
-    ctr = jnp.concatenate(
-        [jnp.full((bsz, 1), 0.0) + cx, jnp.full((bsz, 1), 0.0) + cy,
-         jnp.full((bsz, 1), 0.0) + cz],
-        axis=1,
-    )
     out_ref[:] = jnp.concatenate(
-        [mom, cnt, ctr, jnp.zeros((bsz, 3), jnp.float32)], axis=1
+        [mom, cnt, jnp.zeros((bsz, 6), jnp.float32)], axis=1
     )
 
 
 @functools.partial(jax.jit, static_argnames=("block", "sub", "interpret"))
 def moments_sweep_pallas(q8, packed3, lo, ln, r2, block=256, sub=512,
                          interpret=False):
-    """Returns (Np, 16): [moments(9) | count | block_center(3) | pad]."""
+    """Returns (Np, 16): [moments(9) | count | pad(6)] — moments are in
+    the masked block-center frame (translation cancels in covariance)."""
     return _run_sweep(_moments_kernel, q8, packed3, lo, ln, (r2,), 16,
                       block, sub, interpret)
 
@@ -163,7 +158,6 @@ def _spfh_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
                  cand, sems, *, k_max):
     b = pl.program_id(0)
     sub = cand.shape[2]
-    m = packed.shape[1]
     r2 = scal_ref[0]
     qt, qx, qy, qz, qm = _split_q(q_ref)
     bsz = qx.shape[0]
@@ -232,7 +226,7 @@ def _spfh_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
         )
 
     cum, cnt = window_walk(
-        lo_ref, len_ref, b, m, sub, packed, cand, sems, tile_fn,
+        lo_ref, len_ref, b, sub, packed, cand, sems, tile_fn,
         (jnp.zeros((bsz, 30), jnp.float32), jnp.zeros((bsz, 1), jnp.float32)),
         k_max=k_max,
     )
@@ -259,7 +253,6 @@ def _fpfh_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
                  cand, sems, *, k_max):
     b = pl.program_id(0)
     sub = cand.shape[2]
-    m = packed.shape[1]
     r2 = scal_ref[0]
     _, qx, qy, qz, qm = _split_q(q_ref)
     bsz = qx.shape[0]
@@ -273,7 +266,7 @@ def _fpfh_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
         return carry + _dot_sub(wgt, tile[3:36, :])  # (B, 33)
 
     f = window_walk(
-        lo_ref, len_ref, b, m, sub, packed, cand, sems, tile_fn,
+        lo_ref, len_ref, b, sub, packed, cand, sems, tile_fn,
         jnp.zeros((bsz, 33), jnp.float32),
         k_max=k_max,
     )
@@ -300,8 +293,11 @@ def _run_sweep(kernel, q8, packed, lo, ln, scalars, out_w, block, sub,
     npad = q8.shape[1]
     nb = npad // block
     assert nb * block == npad, (npad, block)
-    sub = max(128, min(sub, -(-packed.shape[1] // 128) * 128))
-    assert sub % 128 == 0, sub
+    # Round sub DOWN to the 128-lane grid (callers may pass min(sub, m)
+    # with an unaligned m — e.g. a 300-capacity cloud) and never beyond
+    # the padded operand width.
+    sub = max(128, min(sub // 128 * 128,
+                       -(-packed.shape[1] // 128) * 128))
     # Mosaic alignment: pad packed rows to a multiple of 8 (sublane
     # tiling) and columns to a multiple of sub (the aligned tile grid).
     # Zero padding is safe — padded rows/columns are never owned.

@@ -202,7 +202,6 @@ def fused_prepare_features(
     r2 = r * r
     slab = build_slab2(cloud.points, cloud.mask, bucket_w * r)
     m = slab.sorted_points.shape[0]
-    sub = min(sub, m)
     pts_t = slab.sorted_points_t  # (3, M) slab2 order
 
     n = m
@@ -302,6 +301,7 @@ def fused_prepare_features(
         )
 
     # --- XLA engine: (nb, B, 3) query blocks -------------------------------
+    sub = min(sub, m)  # dynamic_slice bound (the Pallas wrappers self-clamp)
     pts = slab.sorted_points
     qp = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=2.9e4)
     qb = qp.reshape(-1, block, 3)  # (nb, B, 3)

@@ -439,13 +439,17 @@ def icp_refine(
     if nn_mode == "auto":
         nn_mode = "slab" if target.capacity >= 4096 else "brute"
 
-    if nn_mode == "slab" and (
-        src_mode == "subsample"
-        or (src_mode == "auto" and src_pts.shape[0] >= 2 * src_cap)
+    if (
+        nn_mode == "slab"
+        and src_mode in ("subsample", "auto")
+        and src_pts.shape[0] >= 2 * src_cap  # small clouds: exact always
     ):
-        # Strided decimation (reshape + major-axis slice — gather-free,
-        # see ops/ransac.py's corr subsample for the layout rationale).
-        stride = src_pts.shape[0] // src_cap
+        # Strided decimation (reshape + major-axis slice — gather-free;
+        # see ops/ransac.py's corr subsample and decimation_stride for
+        # the layout/raster-aliasing rationale).
+        from tpu3d.ops.ransac import decimation_stride
+
+        stride = decimation_stride(src_pts.shape[0], src_cap)
         take = stride * src_cap
         src_pts = src_pts[:take].reshape(src_cap, stride, 3)[:, 0]
         smask = smask[:take].reshape(src_cap, stride)[:, 0]

@@ -53,7 +53,6 @@ def _stats_kernel(
 ):
     b = pl.program_id(0)
     sub = cand.shape[2]
-    m = packed_hbm.shape[1]
     thr2 = thr2_ref[0]
 
     qt = q_ref[:]  # (8, B)
@@ -95,7 +94,7 @@ def _stats_kernel(
 
     z = jnp.zeros((bsz, 1), jnp.float32)
     bd, bqx, bqy, bqz, bnx, bny, bnz = window_walk(
-        lo_ref, len_ref, b, m, sub, packed_hbm, cand, sems, tile_fn,
+        lo_ref, len_ref, b, sub, packed_hbm, cand, sems, tile_fn,
         (jnp.full((bsz, 1), _BIG), z, z, z, z, z, z),
         k_max=k_max,
     )
@@ -157,8 +156,11 @@ def icp_p2plane_stats_pallas(
     npad = q8.shape[1]
     nb = npad // block
     assert nb * block == npad
-    sub = max(128, min(sub, -(-packed.shape[1] // 128) * 128))
-    assert sub % 128 == 0, sub
+    # Round sub DOWN to the 128-lane grid (callers may pass min(sub, m)
+    # with an unaligned m — e.g. a 300-capacity cloud) and never beyond
+    # the padded operand width.
+    sub = max(128, min(sub // 128 * 128,
+                       -(-packed.shape[1] // 128) * 128))
     # Mosaic alignment: pad packed rows (6 -> 8, sublane tiling) and
     # columns to a multiple of sub (aligned tile grid — see pallas_walk).
     rpad = (-packed.shape[0]) % 8

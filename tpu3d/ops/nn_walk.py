@@ -21,8 +21,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
+from tpu3d.ops.features_pallas import _run_sweep
 from tpu3d.ops.pallas_walk import window_walk
 from tpu3d.ops.slab2 import block_windows, build_slab2
 
@@ -33,7 +33,6 @@ def _top1_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
                  cand, sems, *, k_max):
     b = pl.program_id(0)
     sub = cand.shape[2]
-    m = packed.shape[1]
     r2 = scal_ref[0]
     qt = q_ref[:]
     qx = qt[0:1, :].T  # (B, 1)
@@ -62,7 +61,7 @@ def _top1_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
 
     z = jnp.zeros((bsz, 1), jnp.float32)
     bd, bi = window_walk(
-        lo_ref, len_ref, b, m, sub, packed, cand, sems, tile_fn,
+        lo_ref, len_ref, b, sub, packed, cand, sems, tile_fn,
         (jnp.full((bsz, 1), _BIG), z),
         k_max=k_max,
     )
@@ -124,47 +123,11 @@ def slab2_top1(
         axis=0,
     )
 
-    npad = nq + pad
-    nb = npad // block
-    sub = max(128, min(sub, -(-packed.shape[1] // 128) * 128))
-    rpad = (-packed.shape[0]) % 8
-    cpad = (-packed.shape[1]) % sub
-    if rpad or cpad:
-        packed = jnp.pad(packed, ((0, rpad), (0, cpad)))
-    rows = packed.shape[0]
-    kernel = functools.partial(_top1_kernel, k_max=lo.shape[1])
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, block), lambda b, lo, ln: (0, b),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((block, 8), lambda b, lo, ln: (b, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((4, rows, sub), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((npad, 8), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=int(npad) * 4096 * 10,
-            bytes_accessed=int(npad) * 2048 * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(
-        lo.astype(jnp.int32).ravel(),
-        length.astype(jnp.int32).ravel(),
-        jnp.asarray([r2], jnp.float32),
-        q8,
-        packed,
+    # Shared pallas_call plumbing (alignment padding, flat SMEM window
+    # tables, 4-deep scratch) lives in features_pallas._run_sweep.
+    out = _run_sweep(
+        _top1_kernel, q8, packed, lo, length, (r2,), 8, block, sub,
+        interpret,
     )
     d2_sorted = out[:nq, 0]
     idx_sorted = out[:nq, 1].astype(jnp.int32)

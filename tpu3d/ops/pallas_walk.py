@@ -33,7 +33,6 @@ def window_walk(
     lo_ref,  # i32[nb*K] scalar-prefetch window starts (sorted rows), FLAT
     len_ref,  # i32[nb*K] window lengths, FLAT
     b,  # grid-step block index
-    m: int,  # total sorted target columns (multiple of sub)
     sub: int,  # sub-tile width (multiple of 128)
     packed_hbm,  # (R, M) ref in ANY/HBM — the packed candidate planes
     cand,  # (2, R, sub) VMEM scratch (double buffer)

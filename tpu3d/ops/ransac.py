@@ -43,6 +43,22 @@ from tpu3d.ops.transforms import kabsch_quat, make_transform
 from tpu3d.types import FPFHFeatures, PointCloud, RegistrationResult
 
 
+def decimation_stride(n: int, cap: int) -> int:
+    """Stride for gather-free strided decimation of ``n`` rows down to
+    ``cap``, nudged AWAY from common raster-width factors (2 and 5): a
+    stride sharing a large factor with the sensor scan-line width
+    collapses the subset onto a few image columns (stride 80 on a
+    640-wide raster hits only gcd-many = 8 columns). Both adjustments
+    only shrink the stride, so cap*stride never exceeds n. Requires
+    n >= 2*cap (callers gate)."""
+    stride = n // cap
+    if stride > 2 and stride % 2 == 0:
+        stride -= 1
+    if stride > 5 and stride % 5 == 0:
+        stride -= 2
+    return stride
+
+
 def feature_correspondences(
     source_features: FPFHFeatures, target_features: FPFHFeatures
 ) -> jnp.ndarray:
@@ -135,19 +151,23 @@ def ransac_registration(
     src_pts = source.points
     src_mask = source.mask
     src_desc = source_features.descriptors
-    use_sub = corr_mode == "subsample" or (
-        corr_mode == "auto" and n >= 2 * corr_cap
+    # Explicit 'subsample' with a small cloud falls back to exact (a
+    # stride below 2 would be degenerate, and the subset would cover the
+    # whole cloud anyway).
+    use_sub = (
+        corr_mode in ("subsample", "auto") and n >= 2 * corr_cap
     )
     if use_sub:
         # Strided decimation, not a random-row gather: row k of the subset
         # is source row k*stride — a reshape + major-axis slice, which TPU
         # executes as a strided copy (a 16k-row random gather costs ~7 ms
         # on a v5e, ~same as the whole feature NN). Source row order is
-        # sensor/raster order, so a fixed stride is spatially uniform; the
-        # subset keeps its own mask and fitness normalizes by the subset's
-        # valid count, so validity stays unbiased. Up to stride-1 trailing
-        # rows are never sampled (statistically immaterial at 16k draws).
-        stride = n // corr_cap  # >= 2 by the use_sub gate
+        # sensor/raster order, so a factor-nudged stride (see
+        # decimation_stride) is spatially uniform; the subset keeps its
+        # own mask and fitness normalizes by the subset's valid count, so
+        # validity stays unbiased. Trailing rows past cap*stride are
+        # never sampled (statistically immaterial at 8k draws).
+        stride = decimation_stride(n, corr_cap)
         take = stride * corr_cap
         src_pts = src_pts[:take].reshape(corr_cap, stride, 3)[:, 0, :]
         src_mask = src_mask[:take].reshape(corr_cap, stride)[:, 0]
@@ -285,7 +305,7 @@ def ransac_registration(
         # ``two_stage``); the winner's reported fitness/rmse are exact.
         use_est = n >= 4 * est_cap
         if use_est:
-            st_e = n // est_cap
+            st_e = decimation_stride(n, est_cap)
             tke = st_e * est_cap
             p_e = p[:tke].reshape(est_cap, st_e, 3)[:, 0]
             q_e = q[:tke].reshape(est_cap, st_e, 3)[:, 0]
