@@ -218,7 +218,7 @@ def main():
     )
     float(sync(src_cloud.points, src_cloud.mask))
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         float(sync(src_cloud.points, src_cloud.mask))
         times.append(time.perf_counter() - t0)
