@@ -76,7 +76,7 @@ class ThreadPool {
         // Parity with the reference pool, which throws on enqueue after
         // stop (include/thread_pool.hpp:72-74).
         --in_flight_;
-        throw std::runtime_error("enqueue on stopped ThreadPool");
+        throw std::runtime_error("tpu3d pool: enqueue after stop()");
       }
       tasks_.push(std::move(f));
     }

@@ -79,3 +79,35 @@ def test_quirk_keys_are_loadable():
 def test_nonexistent_file_falls_back():
     c = load_config("/nonexistent/nope.yaml")
     assert c.camera.width == 1280
+
+
+def test_exactness_knobs_parse_and_default():
+    """registration.corr_mode/src_mode/two_stage: YAML-exposed exactness
+    knobs for the statistical fast paths (default 'auto'; 'exact'
+    reproduces reference-exact fitness/rmse through the pipeline)."""
+    import tempfile, os
+
+    c = load_config(None)
+    assert c.registration.corr_mode == "auto"
+    assert c.registration.src_mode == "auto"
+    assert c.registration.two_stage == "auto"
+
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False) as f:
+        f.write(
+            "registration:\n  corr_mode: exact\n  src_mode: exact\n"
+            "  two_stage: off\n"
+        )
+        path = f.name
+    try:
+        c = load_config(path)
+        assert c.registration.corr_mode == "exact"
+        assert c.registration.src_mode == "exact"
+        assert c.registration.two_stage == "off"
+    finally:
+        os.unlink(path)
+
+    from tpu3d.pipeline.pipeline import _two_stage_opt
+
+    assert _two_stage_opt("auto") == "auto"
+    assert _two_stage_opt("on") is True
+    assert _two_stage_opt("off") is False

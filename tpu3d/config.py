@@ -63,6 +63,15 @@ class RegistrationConfig:
     # static-shape compute path. 0 = auto (next power-of-two-ish from data).
     max_points: int = 0
     ransac_seed: int = 42  # analog of std::mt19937 rng(42), registration.cpp:235
+    # Exactness knobs for the at-scale statistical fast paths (TPU
+    # extension — the reference is always exact). 'auto' enables strided
+    # subsampling above the size gates (documented σ in ops/ransac.py and
+    # ops/icp.py); 'exact' reproduces reference-exact fitness/rmse
+    # (registration.cpp:216-232, 321-339) at full cost; 'subsample'
+    # forces the subset path where applicable.
+    corr_mode: str = "auto"  # RANSAC correspondences: auto|exact|subsample
+    src_mode: str = "auto"  # ICP source rows: auto|exact|subsample
+    two_stage: str = "auto"  # RANSAC two-stage scoring: auto|on|off
 
 
 @dataclasses.dataclass
@@ -166,6 +175,12 @@ def load_config(path: Optional[str] = None) -> PipelineConfig:
             )
             config.registration.max_points = int(get(reg, "max_points", 0))
             config.registration.ransac_seed = int(get(reg, "ransac_seed", 42))
+            config.registration.corr_mode = str(get(reg, "corr_mode", "auto"))
+            config.registration.src_mode = str(get(reg, "src_mode", "auto"))
+            ts = get(reg, "two_stage", "auto")
+            if isinstance(ts, bool):  # YAML 1.1 reads on/off as booleans
+                ts = "on" if ts else "off"
+            config.registration.two_stage = str(ts)
 
         rob = y.get("robot") or {}
         if "robot" in y:

@@ -164,12 +164,14 @@ def _spfh_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
     qnx = qt[4:5, :].T  # (B, 1) query normals
     qny = qt[5:6, :].T
     qnz = qt[6:7, :].T
-    # b_i = p_i × n_i, UNCENTERED: the scalar-triple identity
-    # alpha·d = n_i·b_j + b_i·n_j holds for any shared origin, and the
-    # f32 cancellation noise at |p| ~ O(1) is ~1e-7 absolute — four
-    # orders below the 0.18-wide angle bins. Candidate-side b_j and
-    # a_j = p_j·n_j arrive precomputed in the packed operand (rows 3-9),
-    # removing all per-pair centering/cross work from the tile loop.
+    # b_i = p_i × n_i in the caller's shared frame: the scalar-triple
+    # identity alpha·d = n_i·b_j + b_i·n_j holds for any shared origin,
+    # and the caller (fused_features) pre-shifts coordinates by the cloud
+    # centroid so |p| ~ O(extent) — f32 cancellation noise ~1e-7
+    # absolute, four orders below the 0.18-wide angle bins, regardless of
+    # the world frame. Candidate-side b_j and a_j = p_j·n_j arrive
+    # precomputed in the packed operand (rows 3-9), removing all per-pair
+    # centering/cross work from the tile loop.
     qbx = qy * qnz - qz * qny
     qby = qz * qnx - qx * qnz
     qbz = qx * qny - qy * qnx

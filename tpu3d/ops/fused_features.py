@@ -262,23 +262,39 @@ def fused_prepare_features(
         # per-block, while the candidate side is per-PAIR work saved).
         # Sentinel rows: n = 0 ⇒ b = 0, a = 0 — inert, and their 3e4
         # coords fail every d² gate anyway.
+        #
+        # Coordinates are shifted by the cloud's masked centroid first:
+        # the shared-origin scalar-triple identity alpha·d = n_i·b_j +
+        # b_i·n_j is exact for ANY common origin, but its f32 cancellation
+        # error scales with |p|² — a far-from-origin world frame
+        # (coords ~1e3+) would otherwise push angle-bin error past the
+        # 0.18 bin width. The shift keeps |p| ~ O(cloud extent); d²/phi
+        # are translation-invariant, so nothing else changes.
         nrm_t = jnp.stack([nx, ny, nz])  # (3, M)
+        wv = slab.valid_sorted.astype(jnp.float32)
+        cnt_v = jnp.maximum(jnp.sum(wv), 1.0)
+        ctr = jnp.stack(
+            [jnp.sum(pts_t[i] * wv) / cnt_v for i in range(3)]
+        )  # (3,)
+        cpts_t = pts_t - ctr[:, None]  # sentinels stay ~3e4 — still inert
         b3 = jnp.stack(
             [
-                pts_t[1] * nrm_t[2] - pts_t[2] * nrm_t[1],
-                pts_t[2] * nrm_t[0] - pts_t[0] * nrm_t[2],
-                pts_t[0] * nrm_t[1] - pts_t[1] * nrm_t[0],
+                cpts_t[1] * nrm_t[2] - cpts_t[2] * nrm_t[1],
+                cpts_t[2] * nrm_t[0] - cpts_t[0] * nrm_t[2],
+                cpts_t[0] * nrm_t[1] - cpts_t[1] * nrm_t[0],
             ]
         )
         arow = (
-            pts_t[0] * nrm_t[0] + pts_t[1] * nrm_t[1] + pts_t[2] * nrm_t[2]
+            cpts_t[0] * nrm_t[0] + cpts_t[1] * nrm_t[1]
+            + cpts_t[2] * nrm_t[2]
         )
         packed_b = jnp.concatenate(
-            [pts_t, b3, nrm_t, arow[None]], axis=0
+            [cpts_t, b3, nrm_t, arow[None]], axis=0
         )  # (10, M)
         qn_pad = jnp.pad(nrm_t, ((0, 0), (0, pad)))  # (3, Np)
         q8n = jnp.concatenate(
-            [coords, mrow, qn_pad, jnp.zeros((1, npad_total), jnp.float32)],
+            [coords - ctr[:, None], mrow, qn_pad,
+             jnp.zeros((1, npad_total), jnp.float32)],
             axis=0,
         )
         spfhout = spfh_sweep_pallas(

@@ -30,7 +30,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu3d.ops.precision import dot_bf16x3
 
 _SENTINEL = 1.0e6  # coordinate magnitude pushed onto invalid/padded targets
 _BIG = 1.0e30
@@ -45,19 +44,33 @@ def _nn_kernel(s_ref, t_ref, d_ref, i_ref, bd_ref, bi_ref, *, block_m: int,
         bd_ref[:] = jnp.full_like(bd_ref, _BIG)
         bi_ref[:] = jnp.zeros_like(bi_ref)
 
-    t = t_ref[:]  # (BM, 3)
-    s = s_ref[:]  # (3, BN)
+    t = t_ref[:]  # (BM, D) f32 — or (BM, 3D) packed bf16 under "fast3"
+    s = s_ref[:]  # (D, BN) f32 — or (3D, BN) packed bf16
     if precision == "fast3":
+        # bf16x3 as ONE MXU pass: the wrapper packs [hi|hi|lo] x [hi;lo;hi]
+        # along the contraction axis, so hi·hi + hi·lo + lo·hi accumulates
+        # in a single f32 MXU chain (K = 3D ≤ 128 is still one systolic
+        # pass — 3x fewer passes than three separate bf16 dots, identical
+        # ~1e-7 relative accuracy).
         # NOTE: a single bf16 pass ("fast1") was measured: 2.5x faster but
         # true-inlier correspondence quality collapses 0.46 -> 0.03 on the
         # bench pair — 4e-3 relative distance noise is NOT tie-class noise
         # for 33-D FPFH. bf16x3 is the speed floor for this argmin.
-        cross = dot_bf16x3(t, s)
+        d3 = t.shape[1]
+        d_ = d3 // 3
+        cross = jnp.dot(
+            t, s, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # (BM, BN) on MXU, one pass
+        t32 = t[:, :d_].astype(jnp.float32) + t[:, 2 * d_:].astype(
+            jnp.float32
+        )  # exact f32 coords recovered from the hi+lo planes
+        tnorm = jnp.sum(t32 * t32, axis=1, keepdims=True)  # (BM, 1)
     else:
         cross = jnp.dot(
             t, s, preferred_element_type=jnp.float32, precision=precision
         )  # (BM, BN) on MXU
-    tnorm = jnp.sum(t * t, axis=1, keepdims=True)  # (BM, 1)
+        tnorm = jnp.sum(t * t, axis=1, keepdims=True)  # (BM, 1)
     d2 = tnorm - 2.0 * cross
 
     local_min = jnp.min(d2, axis=0)
@@ -118,16 +131,30 @@ def nearest_neighbor_pallas(
     qp, mp = q + qpad, m + mpad
     grid = (qp // block_n, mp // block_m)
 
-    prec = (
-        jax.lax.Precision.HIGHEST if precision == "highest" else precision
-    )
+    if precision == "fast3":
+        # Pack the bf16 hi/lo split along the contraction axis so the
+        # kernel's cross term is ONE K=3D MXU pass (see _nn_kernel).
+        s_hi = s_t.astype(jnp.bfloat16)
+        s_lo = (s_t - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        s_in = jnp.concatenate([s_hi, s_lo, s_hi], axis=0)  # (3D, Qp)
+        t_hi = tgt.astype(jnp.bfloat16)
+        t_lo = (tgt - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        t_in = jnp.concatenate([t_hi, t_hi, t_lo], axis=1)  # (Mp, 3D)
+        d_in = 3 * d
+        prec = precision
+    else:
+        s_in, t_in, d_in = s_t, tgt, d
+        prec = (
+            jax.lax.Precision.HIGHEST if precision == "highest" else precision
+        )
     dist, idx = pl.pallas_call(
         functools.partial(_nn_kernel, block_m=block_m, precision=prec),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((d, block_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, block_n), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (block_m, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+                (block_m, d_in), lambda i, j: (j, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
@@ -148,7 +175,7 @@ def nearest_neighbor_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(s_t, tgt)
+    )(s_in, t_in)
 
     d2 = dist[0, :q] + jnp.sum(qt[:q] * qt[:q], axis=1)
     return idx[0, :q], jnp.maximum(d2, 0.0)

@@ -35,8 +35,8 @@ def window_walk(
     b,  # grid-step block index
     sub: int,  # sub-tile width (multiple of 128)
     packed_hbm,  # (R, M) ref in ANY/HBM — the packed candidate planes
-    cand,  # (2, R, sub) VMEM scratch (double buffer)
-    sems,  # DMA semaphores (2,)
+    cand,  # (depth, R, sub) VMEM scratch (DMA pipeline slots; callers pass 4)
+    sems,  # DMA semaphores (depth,)
     tile_fn,  # (tile_(R,sub), own_(1,sub), start, carry) -> carry
     init,  # initial carry (pytree of arrays)
     k_max: int,  # windows per block (lo/len are (nb, K) flattened)
@@ -90,8 +90,9 @@ def window_walk(
     # while small tiles carry ~0.1 µs of vector work — pairing two tiles
     # per iteration halves that overhead. Leak-safety: tiles are indexed
     # over total_even = total rounded up to even; the at-most-one padding
-    # tile aliases tile `total-1`'s DMA (started AND waited exactly once,
-    # contributes nothing through the `t < total` own-mask).
+    # tile re-fetches tile `total-1`'s region into its own slot (its DMA
+    # is started AND waited exactly once, and it contributes nothing
+    # through the `t < total` own-mask).
     depth = cand.shape[0]
     total_even = (total + 1) & ~jnp.int32(1)
 

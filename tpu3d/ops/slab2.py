@@ -153,11 +153,18 @@ def block_windows(
     b_hi = jnp.minimum(b_max + nb_r, _NB_MAX - 1)
 
     ks = jnp.arange(k_max - 1, dtype=jnp.int32)  # trimmed windows
-    cand_b = b_lo[:, None] + ks[None, :]  # (nb, K-1)
+    cand_raw = b_lo[:, None] + ks[None, :]  # (nb, K-1), may exceed b_hi
+    # Key operand only: cand_raw can reach b_lo + k_max − 2 > _NB_MAX − 1,
+    # and an unclipped value would overflow ``cand << 20`` into negative
+    # int32 keys. Those windows are forced empty below (cand_raw > b_hi),
+    # so the clip never changes a live window — it only keeps the shifted
+    # keys valid. Selection/emptiness use the UNCLIPPED value so clipped
+    # duplicates of bucket _NB_MAX−1 can never double-count.
+    cand_b = jnp.minimum(cand_raw, _NB_MAX - 1)
     # Queries that can touch bucket c: |bucket(q) − c| ≤ nb_r.
     sel = (
         m_blocks[:, None, :]
-        & (jnp.abs(qb[:, None, :] - cand_b[:, :, None]) <= nb_r)
+        & (jnp.abs(qb[:, None, :] - cand_raw[:, :, None]) <= nb_r)
     )  # (nb, K-1, B)
     big = jnp.float32(jnp.inf)
     ylo = jnp.min(jnp.where(sel, qy[:, None, :], big), axis=2) - r
@@ -166,7 +173,7 @@ def block_windows(
     qy_hi = _qy_of(yhi, index.y0, index.y_scale)
     key_lo = (cand_b << _Y_BITS) | qy_lo
     key_hi = (cand_b << _Y_BITS) | qy_hi
-    empty = ~jnp.any(sel, axis=2) | (cand_b > b_hi[:, None])
+    empty = ~jnp.any(sel, axis=2) | (cand_raw > b_hi[:, None])
 
     # Overflow window: buckets [b_lo+K−1 .. b_hi] merged, no y trim.
     c0 = b_lo + jnp.int32(k_max - 1)

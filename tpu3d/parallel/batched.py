@@ -52,6 +52,9 @@ def stack_clouds(clouds: list[PointCloud]) -> PointCloud:
         "icp_max_iterations",
         "point_to_plane",
         "ransac_chunk",
+        "corr_mode",
+        "src_mode",
+        "two_stage",
     ),
 )
 def register_batch(
@@ -67,11 +70,17 @@ def register_batch(
     point_to_plane: bool = True,
     seed: int = 42,
     ransac_chunk: int = 512,
+    corr_mode: str = "auto",
+    src_mode: str = "auto",
+    two_stage: str | bool = "auto",
 ) -> tuple[RegistrationResult, RegistrationResult]:
     """RANSAC + ICP for a batch of source instances against one target.
 
     sources/source_features carry a leading instance axis; target is shared.
     Returns (refined, coarse), each with leading instance axis.
+    ``corr_mode``/``src_mode``/``two_stage`` are the same exactness knobs as
+    the scalar path (ops/ransac.py, ops/icp.py) — 'exact' requests
+    reference-exact fitness/rmse.
     """
 
     def one(src: PointCloud, feat: FPFHFeatures):
@@ -85,6 +94,8 @@ def register_batch(
             confidence=ransac_confidence,
             seed=seed,
             chunk=ransac_chunk,
+            corr_mode=corr_mode,
+            two_stage=two_stage,
         )
         refined = icp_refine(
             src,
@@ -93,6 +104,7 @@ def register_batch(
             jnp.asarray(voxel_size, jnp.float32) * icp_distance_factor,
             max_iterations=icp_max_iterations,
             point_to_plane=point_to_plane,
+            src_mode=src_mode,
         )
         return refined, coarse
 

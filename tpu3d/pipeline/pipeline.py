@@ -51,6 +51,11 @@ from tpu3d.types import PointCloud
 from tpu3d.viz.viewer import SceneViewer
 
 
+def _two_stage_opt(v: str):
+    """Config 'auto'|'on'|'off' → ransac_registration's two_stage arg."""
+    return {"on": True, "off": False}.get(v, "auto")
+
+
 class Pipeline:
     def __init__(self, config: PipelineConfig, sleep_fn=time.sleep):
         self.config = config
@@ -163,6 +168,8 @@ class Pipeline:
                 max_iterations=cfg.registration.ransac_max_iterations,
                 confidence=cfg.registration.ransac_confidence,
                 seed=cfg.registration.ransac_seed,
+                corr_mode=cfg.registration.corr_mode,
+                two_stage=_two_stage_opt(cfg.registration.two_stage),
             )
             print(
                 f"RANSAC result: fitness={float(coarse.fitness):.4f},"
@@ -294,6 +301,9 @@ class Pipeline:
             icp_max_iterations=cfg.icp_max_iterations,
             point_to_plane=cfg.use_point_to_plane,
             seed=cfg.ransac_seed,
+            corr_mode=cfg.corr_mode,
+            src_mode=cfg.src_mode,
+            two_stage=_two_stage_opt(cfg.two_stage),
         )
         T_all = np.asarray(refined.transformation)  # sync — faults surface
         fit_all = np.asarray(refined.fitness)
@@ -337,6 +347,7 @@ class Pipeline:
             threshold,
             max_iterations=cfg.icp_max_iterations,
             point_to_plane=cfg.use_point_to_plane,
+            src_mode=cfg.src_mode,
         )
 
     def _icp_host(self, source, target, init_T, threshold):
@@ -360,6 +371,7 @@ class Pipeline:
                 threshold,
                 max_iterations=cfg.icp_max_iterations,
                 point_to_plane=cfg.use_point_to_plane,
+                src_mode=cfg.src_mode,
             )
 
     def _compute_device(self):
@@ -529,6 +541,8 @@ class Pipeline:
             self.viewer.export_scene_json(self.viewer.json_path)
             self.viewer.export_html(self.viewer.html_path)
             print(f"Viewer scene written to {self.viewer.html_path}")
+            print("(open it directly, or call viewer.serve() for the "
+                  "live fetch-poll view)")
             self.viewer.stop()
         return final_waypoints
 

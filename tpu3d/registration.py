@@ -164,7 +164,12 @@ def register_prepared(
     target_features: FPFHFeatures,
     config: RegistrationConfig,
 ) -> tuple[RegistrationResult, RegistrationResult]:
-    """RANSAC + ICP on preprocessed clouds. Returns (refined, coarse)."""
+    """RANSAC + ICP on preprocessed clouds. Returns (refined, coarse).
+
+    The config's exactness knobs (``corr_mode``/``src_mode``/``two_stage``,
+    PARITY.md "Exact vs statistical metrics") flow through — 'exact'
+    reproduces the reference's exact fitness/rmse."""
+    two_stage = {"on": True, "off": False}.get(config.two_stage, "auto")
     coarse = ransac_registration(
         source,
         target,
@@ -174,6 +179,8 @@ def register_prepared(
         max_iterations=config.ransac_max_iterations,
         confidence=config.ransac_confidence,
         seed=config.ransac_seed,
+        corr_mode=config.corr_mode,
+        two_stage=two_stage,
     )
     refined = icp_refine(
         source,
@@ -182,6 +189,7 @@ def register_prepared(
         config.voxel_size * config.icp_distance_factor,
         max_iterations=config.icp_max_iterations,
         point_to_plane=config.use_point_to_plane,
+        src_mode=config.src_mode,
     )
     return refined, coarse
 
