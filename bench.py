@@ -223,8 +223,41 @@ def main():
         float(sync(src_cloud.points, src_cloud.mask))
         times.append(time.perf_counter() - t0)
     rt = roundtrip_ms() / 1000.0
-    pair_s = max(min(times) - rt, 1e-9)
+    single_s = max(min(times) - rt, 1e-9)
     log(f"pair times: {['%.3f' % t for t in times]}s (roundtrip {rt:.3f}s)")
+
+    # HEADLINE methodology: K pairs inside ONE dispatch (lax.fori_loop,
+    # inputs perturbed per iteration so no two pairs are the same program
+    # state — nothing can be cached or CSE'd away) — this measures pure
+    # device throughput with no tunnel roundtrip or per-dispatch overhead
+    # in the quotient at all.
+    K = int(os.environ.get("TPU3D_BENCH_K", "10"))
+
+    def k_pairs(p, m):
+        def body(i, acc):
+            # 0.1 µm jitter: numerically invisible to registration (the
+            # ICP convergence tolerance is 1e-6 m of rmse), but makes
+            # every iteration's trace inputs distinct values.
+            pi = p + (jnp.float32(1e-7) * (i + 1))
+            T, fit, _ = full_pair(pi, m)
+            return acc + jnp.sum(T) + fit
+
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+    sync_k = jax.jit(k_pairs)
+    float(sync_k(src_cloud.points, src_cloud.mask))  # compile
+    k_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(sync_k(src_cloud.points, src_cloud.mask))
+        k_times.append(time.perf_counter() - t0)
+    pair_s = max((min(k_times) - rt) / K, 1e-9)
+    log(
+        f"K={K} pairs in one dispatch: {['%.3f' % t for t in k_times]}s"
+        f" → {pair_s * 1000:.1f} ms/pair (single-shot methodology:"
+        f" {single_s * 1000:.1f} ms; agreement"
+        f" {100 * single_s / max(pair_s, 1e-12):.0f}%)"
+    )
 
     cpu = measure_cpu_baseline(n, ransac_iters, icp_iters)
     speedup = cpu["cpu_pair_seconds"] / pair_s
@@ -288,6 +321,51 @@ def run_extras(log):
     log(
         "extra: slab2+walk NN 1Mx1M (r=2mm, incl. BOTH index builds): "
         f"{(time.time()-t0)*1000:.0f} ms/pass"
+    )
+
+    # --- FULL 1M-pair registration: prepare + RANSAC + ICP ------------------
+    # (VERDICT r3 item 4 — not just the NN pass: radius-exact fused
+    # normals+FPFH at 1M, corr-subsampled RANSAC, slab-walk ICP.)
+    from tpu3d.ops.icp import build_icp_target, icp_refine
+    from tpu3d.ops.ransac import ransac_registration
+
+    voxel1m = 0.001  # ~point spacing at 1M over 1 m² — keeps FPFH local
+    src1_np, tgt1_np, R1, t1 = make_pair(n1m, seed=7, voxel=voxel1m)
+    tgt1 = PointCloud.from_numpy(tgt1_np, capacity=n1m)
+    t0 = time.time()
+    tgt1p, tgt1f = fused_prepare_features(tgt1, jnp.float32(voxel1m * 5))
+    float(jnp.sum(tgt1f.descriptors))
+    log(f"extra: 1M prepare (normals+FPFH, incl compile): "
+        f"{time.time()-t0:.1f} s")
+    tgt1_index = jax.jit(build_icp_target)(tgt1p)
+
+    def pair_1m(sp, sm):
+        s = PointCloud(points=sp, mask=sm)
+        s, sf = fused_prepare_features(s, jnp.float32(voxel1m * 5))
+        c = ransac_registration(s, tgt1p, sf, tgt1f, voxel1m,
+                                max_iterations=100000)
+        rfd = icp_refine(s, tgt1p, c.transformation, voxel1m * 0.4,
+                         max_iterations=50, point_to_plane=True,
+                         target_index=tgt1_index)
+        return rfd.transformation, rfd.fitness, rfd.rmse
+
+    j1m = jax.jit(pair_1m)
+    src1 = PointCloud.from_numpy(src1_np, capacity=n1m)
+    T1m, fit1m, _ = j1m(src1.points, src1.mask)
+    T1m_np = np.asarray(T1m)
+    rot_e = np.abs(T1m_np[:3, :3] - R1).max()
+    trn_e = np.abs(T1m_np[:3, 3] - t1).max()
+    sync1m = jax.jit(lambda p, m: jnp.sum(pair_1m(p, m)[0]))
+    float(sync1m(src1.points, src1.mask))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        float(sync1m(src1.points, src1.mask))
+        best = min(best, time.time() - t0)
+    log(
+        f"extra: FULL 1M-pair registration (prepare+RANSAC+ICP): "
+        f"{best*1000:.0f} ms/pair raw, fitness {float(fit1m):.3f}, "
+        f"pose err rot {rot_e:.5f} trans {trn_e:.6f}"
     )
 
     # --- 64-instance batched bin picking ------------------------------------

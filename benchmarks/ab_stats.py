@@ -1,0 +1,154 @@
+"""A/B harness for the statistical shortcuts (VERDICT r2 item 5).
+
+Quantifies, across >=20 seeds at bench scale (100k points), what the
+estimate-based selection actually costs vs exact evaluation:
+
+  1. est-winner miss: chunked RANSAC with in-chunk ESTIMATE scoring +
+     exact top-16 rescore (the default) vs the SAME chunk stream scored
+     EXACTLY — identical correspondences and hypothesis draws, so any
+     fitness difference is precisely the estimate-selection loss
+     (ops/ransac.py est_cap path; semantics of registration.cpp:284-290).
+  2. false early exit: whether the estimate-driven confidence cutoff
+     (fitness_est > confidence) fires when the exact path's does not.
+  3. statistical-vs-exact END POSE: the full default pipeline
+     (corr_mode/src_mode auto, estimate scoring) vs the all-exact pipeline
+     (corr_mode='exact', src_mode='exact', two_stage=False) — pose and
+     fitness deltas after ICP.
+
+Run on the TPU:  python benchmarks/ab_stats.py   (~2-5 min incl. compiles)
+Prints one JSON line; exit 0 iff gates pass. TPU3D_AB_SEEDS overrides the
+seed count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax.numpy as jnp  # noqa: E402
+
+from bench import make_pair  # noqa: E402
+from tpu3d.ops.fused_features import fused_prepare_features  # noqa: E402
+from tpu3d.ops.icp import icp_refine  # noqa: E402
+from tpu3d.ops.ransac import ransac_registration  # noqa: E402
+from tpu3d.types import PointCloud  # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    n = 100352
+    voxel = 0.002
+    n_seeds = int(os.environ.get("TPU3D_AB_SEEDS", "20"))
+    radius = jnp.float32(voxel * 5)
+    confidence = 0.999
+
+    rows = []
+    for seed in range(n_seeds):
+        src_np, tgt_np, R_true, t_true = make_pair(n, seed=seed, voxel=voxel)
+        rng = np.random.default_rng(seed + 5000)
+        # Half the seeds get 0.25-voxel noise: pushes fitness off 1.0 into
+        # the near-tie plateau where estimate selection could actually err.
+        noisy = seed % 2 == 1
+        if noisy:
+            src_np = src_np + rng.normal(0, 0.25 * voxel, src_np.shape
+                                         ).astype(np.float32)
+            tgt_np = tgt_np + rng.normal(0, 0.25 * voxel, tgt_np.shape
+                                         ).astype(np.float32)
+        src = PointCloud.from_numpy(src_np, capacity=n)
+        tgt = PointCloud.from_numpy(tgt_np, capacity=n)
+        src_p, src_f = fused_prepare_features(src, radius)
+        tgt_p, tgt_f = fused_prepare_features(tgt, radius)
+
+        # (1)+(2): same draws/correspondences, estimate vs exact scoring.
+        est = ransac_registration(
+            src_p, tgt_p, src_f, tgt_f, voxel, max_iterations=100000,
+            seed=seed, confidence=confidence,
+        )  # est_cap=2048 default -> in-chunk estimate scoring
+        exact_sc = ransac_registration(
+            src_p, tgt_p, src_f, tgt_f, voxel, max_iterations=100000,
+            seed=seed, confidence=confidence, est_cap=4096,
+        )  # 8192 < 4*4096 -> exact chunk scoring, same stream
+        fit_est = float(est.fitness)
+        fit_exc = float(exact_sc.fitness)
+
+        # (3): default statistical pipeline vs all-exact pipeline.
+        ref_a = icp_refine(src_p, tgt_p, est.transformation, voxel * 0.4,
+                           max_iterations=200)
+        coarse_x = ransac_registration(
+            src_p, tgt_p, src_f, tgt_f, voxel, max_iterations=100000,
+            seed=seed, corr_mode="exact", two_stage=False,
+            early_exit=False,
+        )
+        ref_x = icp_refine(src_p, tgt_p, coarse_x.transformation,
+                           voxel * 0.4, max_iterations=200,
+                           src_mode="exact")
+        Ta = np.asarray(ref_a.transformation)
+        Tx = np.asarray(ref_x.transformation)
+        rot_d = float(np.abs(Ta[:3, :3] - Tx[:3, :3]).max())
+        trn_d = float(np.abs(Ta[:3, 3] - Tx[:3, 3]).max())
+        rot_true = float(np.abs(Ta[:3, :3] - R_true).max())
+        trn_true = float(np.abs(Ta[:3, 3] - t_true).max())
+
+        row = {
+            "seed": seed,
+            "noisy": noisy,
+            "fit_est_sel": round(fit_est, 5),
+            "fit_exact_sel": round(fit_exc, 5),
+            "winner_fit_delta": round(fit_exc - fit_est, 5),
+            "early_exit_est": fit_est > confidence,
+            "early_exit_exact": fit_exc > confidence,
+            "pose_rot_delta_vs_exact": round(rot_d, 6),
+            "pose_trn_delta_vs_exact": round(trn_d, 7),
+            "pose_rot_err_true": round(rot_true, 6),
+            "pose_trn_err_true": round(trn_true, 7),
+            "fit_icp_auto": round(float(ref_a.fitness), 5),
+            "fit_icp_exact": round(float(ref_x.fitness), 5),
+        }
+        rows.append(row)
+        log(row)
+
+    miss = [r for r in rows if r["winner_fit_delta"] > 1e-4]
+    false_exit = [
+        r for r in rows if r["early_exit_est"] != r["early_exit_exact"]
+    ]
+    sigma = 0.25 * voxel
+    summary = {
+        "n_seeds": n_seeds,
+        "est_winner_miss_rate": len(miss) / n_seeds,
+        "max_winner_fit_delta": max(r["winner_fit_delta"] for r in rows),
+        "false_early_exit_rate": len(false_exit) / n_seeds,
+        "max_pose_rot_delta": max(
+            r["pose_rot_delta_vs_exact"] for r in rows
+        ),
+        "max_pose_trn_delta": max(
+            r["pose_trn_delta_vs_exact"] for r in rows
+        ),
+        "max_icp_fit_delta": max(
+            abs(r["fit_icp_auto"] - r["fit_icp_exact"]) for r in rows
+        ),
+    }
+    # Gates: estimate selection may pick a near-tie runner-up (that is the
+    # documented sigma-class delta) but must not lose real fitness; the
+    # statistical end pose must match the exact end pose to ICP's own
+    # convergence scale (clean) / a fraction of the noise (noisy).
+    ok = (
+        summary["max_winner_fit_delta"] <= 0.01
+        and summary["false_early_exit_rate"] == 0.0
+        and summary["max_pose_rot_delta"] <= 5e-3
+        and summary["max_pose_trn_delta"] <= 0.5 * sigma + 1e-4
+        and summary["max_icp_fit_delta"] <= 0.02
+    )
+    print(json.dumps({**summary, "pass": ok, "per_seed": rows}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

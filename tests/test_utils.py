@@ -33,3 +33,18 @@ def test_stage_recorder(tmp_path):
     rec.dump(path)
     loaded = json.load(open(path))
     assert loaded[0]["stage"] == "a"
+
+
+def test_compute_platform_honors_default_device():
+    """use_gpu=false pins compute to the CPU device of a (possibly TPU)
+    backend process; engine auto-switches must follow the DEVICE, not the
+    backend (BENCH_NOTES r3: compiled Pallas on a CPU device fails)."""
+    import jax
+
+    from tpu3d.utils.platform import compute_platform, on_tpu
+
+    # On the hermetic CPU test platform both agree.
+    assert compute_platform() == jax.default_backend()
+    with jax.default_device(jax.devices("cpu")[0]):
+        assert compute_platform() == "cpu"
+        assert on_tpu() is False

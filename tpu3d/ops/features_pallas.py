@@ -33,9 +33,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu3d.ops.pallas_walk import window_walk
+from tpu3d.ops.pallas_walk import window_walk, window_walk_vmem
 
 _BIG = 1e30
+
+# VMEM residency gate: packed operands at or below this size skip the DMA
+# walk entirely (window_walk_vmem) — the whole candidate array stays
+# on-chip and a tile is one aligned slice. Leaves ~7 MB of the ~16 MB VMEM
+# for blocks, accumulators and temporaries.
+VMEM_OPERAND_BYTES = 9 * 1024 * 1024
+
+
+def run_walk(vmem, lo_ref, len_ref, b, sub, packed, cand, sems, tile_fn,
+             init, k_max):
+    if vmem:
+        return window_walk_vmem(
+            lo_ref, len_ref, b, sub, packed, tile_fn, init, k_max=k_max
+        )
+    return window_walk(
+        lo_ref, len_ref, b, sub, packed, cand, sems, tile_fn, init,
+        k_max=k_max,
+    )
 # Bin thresholds: floor((x+1)*5.5) >= b  <=>  x >= b/5.5 - 1, b = 1..10.
 _BIN_THRESH = tuple(b / 5.5 - 1.0 for b in range(1, 11))
 
@@ -108,7 +126,7 @@ def _dot_sub(a, b):
 
 
 def _moments_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
-                    cand, sems, *, k_max):
+                    cand, sems, *, k_max, vmem=False):
     b = pl.program_id(0)
     sub = cand.shape[2]
     r2 = scal_ref[0]
@@ -130,23 +148,25 @@ def _moments_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
         )  # (9, sub)
         return mom + _dot_sub(w, feats), cnt + jnp.sum(w, 1, keepdims=True)
 
-    mom, cnt = window_walk(
-        lo_ref, len_ref, b, sub, packed, cand, sems, tile_fn,
+    mom, cnt = run_walk(
+        vmem, lo_ref, len_ref, b, sub, packed, cand, sems, tile_fn,
         (jnp.zeros((bsz, 9), jnp.float32), jnp.zeros((bsz, 1), jnp.float32)),
-        k_max=k_max,
+        k_max,
     )
     out_ref[:] = jnp.concatenate(
         [mom, cnt, jnp.zeros((bsz, 6), jnp.float32)], axis=1
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block", "sub", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block", "sub", "interpret", "vmem")
+)
 def moments_sweep_pallas(q8, packed3, lo, ln, r2, block=256, sub=512,
-                         interpret=False):
+                         interpret=False, vmem="auto"):
     """Returns (Np, 16): [moments(9) | count | pad(6)] — moments are in
     the masked block-center frame (translation cancels in covariance)."""
     return _run_sweep(_moments_kernel, q8, packed3, lo, ln, (r2,), 16,
-                      block, sub, interpret)
+                      block, sub, interpret, vmem)
 
 
 # --------------------------------------------------------------------------
@@ -155,7 +175,7 @@ def moments_sweep_pallas(q8, packed3, lo, ln, r2, block=256, sub=512,
 
 
 def _spfh_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
-                 cand, sems, *, k_max):
+                 cand, sems, *, k_max, vmem=False):
     b = pl.program_id(0)
     sub = cand.shape[2]
     r2 = scal_ref[0]
@@ -216,6 +236,10 @@ def _spfh_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
         am = jnp.where(contrib, alpha, -_BIG)
         pm = jnp.where(contrib, phi, -_BIG)
         tm = jnp.where(contrib, dth, -_BIG)
+        # NOTE(perf, v5e): bf16 threshold compares were tried to halve the
+        # 30-pass histogram — Mosaic rejects them ("Target does not
+        # support this comparison" on vector<8x128x2xbf16>); the VPU has
+        # no packed-bf16 compare. f32 compares are the floor here.
         parts = [
             jnp.sum((x >= t).astype(jnp.float32), axis=1, keepdims=True)
             for x, thresh in ((am, _BIN_THRESH), (pm, _BIN_THRESH),
@@ -227,23 +251,25 @@ def _spfh_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
             cnt + jnp.sum(cf, axis=1, keepdims=True),
         )
 
-    cum, cnt = window_walk(
-        lo_ref, len_ref, b, sub, packed, cand, sems, tile_fn,
+    cum, cnt = run_walk(
+        vmem, lo_ref, len_ref, b, sub, packed, cand, sems, tile_fn,
         (jnp.zeros((bsz, 30), jnp.float32), jnp.zeros((bsz, 1), jnp.float32)),
-        k_max=k_max,
+        k_max,
     )
     out_ref[:] = jnp.concatenate(
         [cum, cnt, jnp.zeros((bsz, 1), jnp.float32)], axis=1
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block", "sub", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block", "sub", "interpret", "vmem")
+)
 def spfh_sweep_pallas(q8, packed6, lo, ln, r2, block=256, sub=512,
-                      interpret=False):
+                      interpret=False, vmem="auto"):
     """Returns (Np, 32): [cum_alpha(10) | cum_phi(10) | cum_theta(10) |
     count | pad]."""
     return _run_sweep(_spfh_kernel, q8, packed6, lo, ln, (r2,), 32,
-                      block, sub, interpret)
+                      block, sub, interpret, vmem)
 
 
 # --------------------------------------------------------------------------
@@ -252,7 +278,7 @@ def spfh_sweep_pallas(q8, packed6, lo, ln, r2, block=256, sub=512,
 
 
 def _fpfh_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
-                 cand, sems, *, k_max):
+                 cand, sems, *, k_max, vmem=False):
     b = pl.program_id(0)
     sub = cand.shape[2]
     r2 = scal_ref[0]
@@ -267,22 +293,24 @@ def _fpfh_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
         )  # (B, sub)
         return carry + _dot_sub(wgt, tile[3:36, :])  # (B, 33)
 
-    f = window_walk(
-        lo_ref, len_ref, b, sub, packed, cand, sems, tile_fn,
+    f = run_walk(
+        vmem, lo_ref, len_ref, b, sub, packed, cand, sems, tile_fn,
         jnp.zeros((bsz, 33), jnp.float32),
-        k_max=k_max,
+        k_max,
     )
     out_ref[:] = jnp.concatenate(
         [f, jnp.zeros((bsz, 3), jnp.float32)], axis=1
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block", "sub", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block", "sub", "interpret", "vmem")
+)
 def fpfh_sweep_pallas(q8, packed36, lo, ln, r2, block=256, sub=512,
-                      interpret=False):
+                      interpret=False, vmem="auto"):
     """Returns (Np, 36): [weighted SPFH sum(33) | pad]."""
     return _run_sweep(_fpfh_kernel, q8, packed36, lo, ln, (r2,), 36,
-                      block, sub, interpret)
+                      block, sub, interpret, vmem)
 
 
 # --------------------------------------------------------------------------
@@ -291,7 +319,7 @@ def fpfh_sweep_pallas(q8, packed36, lo, ln, r2, block=256, sub=512,
 
 
 def _run_sweep(kernel, q8, packed, lo, ln, scalars, out_w, block, sub,
-               interpret):
+               interpret, vmem="auto"):
     npad = q8.shape[1]
     nb = npad // block
     assert nb * block == npad, (npad, block)
@@ -310,7 +338,9 @@ def _run_sweep(kernel, q8, packed, lo, ln, scalars, out_w, block, sub,
     rows = packed.shape[0]
     m = packed.shape[1]
     k_max = lo.shape[1]
-    kernel = functools.partial(kernel, k_max=k_max)
+    if vmem == "auto":
+        vmem = rows * m * 4 <= VMEM_OPERAND_BYTES
+    kernel = functools.partial(kernel, k_max=k_max, vmem=vmem)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
@@ -318,12 +348,16 @@ def _run_sweep(kernel, q8, packed, lo, ln, scalars, out_w, block, sub,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
             pl.BlockSpec((8, block), lambda b, lo, ln: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # packed candidate planes
+            # Packed candidate planes: fully VMEM-resident when they fit
+            # (no DMA machinery at all), else HBM + the DMA window walk.
+            pl.BlockSpec(memory_space=pltpu.VMEM if vmem else pl.ANY),
         ],
         out_specs=pl.BlockSpec((block, out_w), lambda b, lo, ln: (b, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((4, rows, sub), jnp.float32),  # 4-deep DMA pipeline
+            # 4-deep DMA pipeline; in resident mode it is unused but kept
+            # so the kernels read ``sub`` from cand.shape either way.
+            pltpu.VMEM((4, rows, sub), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )

@@ -56,6 +56,8 @@ from tpu3d.ops.normals import (
 from tpu3d.ops.slab2 import block_windows, build_slab2
 from tpu3d.types import FPFHFeatures, PointCloud
 
+from tpu3d.utils.platform import on_tpu
+
 _BIG = jnp.float32(1e30)
 
 # Bin thresholds: floor((x+1)*5.5) >= b  <=>  x >= b/5.5 - 1, b = 1..10.
@@ -181,7 +183,7 @@ def fused_prepare_features(
     """
     del slice_cap  # windows are exact for any occupancy
     if engine == "auto":
-        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        engine = "pallas" if on_tpu() else "xla"
     # Per-engine tuning (v5e sweeps, BENCH_NOTES.md): the Pallas walk is
     # cheapest with narrow blocks + radius-width buckets (half the window
     # occupancy: 1511 vs 2940 rows/block at 100k pts), the XLA lax.map
@@ -189,48 +191,49 @@ def fused_prepare_features(
     # exact under ANY of these knobs — they only move the work/overhead
     # balance.
     if engine == "pallas":
+        # Chip-measured (v5e, 100k): (128, 256) beats (128, 128) by ~1.4 ms
+        # and (256, *) / (512, *) by 5-10 ms on the aligned layout.
         block = 128 if block is None else block
         sub = 256 if sub is None else sub
-        k_windows = 10 if k_windows is None else k_windows
-        bucket_w = 1.0
     else:
         block = 256 if block is None else block
         sub = 512 if sub is None else sub
         k_windows = 6 if k_windows is None else k_windows
-        bucket_w = 2.0
     r = jnp.asarray(radius, jnp.float32)
     r2 = r * r
-    slab = build_slab2(cloud.points, cloud.mask, bucket_w * r)
-    m = slab.sorted_points.shape[0]
-    pts_t = slab.sorted_points_t  # (3, M) slab2 order
-
-    n = m
-    pad = (-n) % block
-    mb = jnp.pad(slab.valid_sorted, (0, pad)).reshape(-1, block)
-    overflow = jnp.bool_(False)
 
     if engine == "pallas":
-        # Fully plane-based: queries, windows and normals all live in
-        # K-major (3, N)/(N,) layouts — the (N, 3) blocks the XLA engine
-        # uses waste 125/128 lanes and cost relayouts.
+        # Bucket-aligned padded layout (ops/slab2.py AlignedSlab2): every
+        # query block lives inside ONE x-bucket, so its candidate windows
+        # are exactly the three neighboring buckets trimmed to a shared
+        # y-range — no boundary-crossing window blow-up, no overflow
+        # window, and padding rows are never scanned. Fully plane-based:
+        # queries, windows and normals all live in K-major (3, N)/(N,)
+        # layouts ((N, 3) layouts waste 125/128 lanes and cost relayouts).
         from tpu3d.ops.features_pallas import (
             fpfh_sweep_pallas,
             moments_sweep_pallas,
             spfh_sweep_pallas,
         )
-
-        npad_total = n + pad
-        coords = jnp.pad(
-            pts_t, ((0, 0), (0, pad)), constant_values=2.9e4
-        )  # (3, Np) — padded queries at 2.9e4 match nothing
-        lo, length = block_windows(
-            slab,
-            (coords[0].reshape(-1, block), coords[1].reshape(-1, block)),
-            mb, r, k_max=k_windows,
+        from tpu3d.ops.slab2 import (
+            aligned_block_windows,
+            build_slab2_aligned,
         )
-        mrow = mb.reshape(1, -1).astype(jnp.float32)
+
+        n = cloud.points.shape[0]
+        # Static bucket-count bound: enough buckets that the width stays
+        # ~radius at density (width only widens when the x-extent demands
+        # it). 512 at 1M points costs +65k padded rows — immaterial.
+        max_buckets = 128 if n <= (1 << 18) else 512
+        al = build_slab2_aligned(
+            cloud.points, cloud.mask, r, block=block, max_buckets=max_buckets
+        )
+        pts_t = al.padded_points_t  # (3, Mp), sentinel 3e4 padding
+        mp = pts_t.shape[1]
+        lo, length = aligned_block_windows(al, r, block)  # (nbk, 3)
+        mrow = al.valid_padded.astype(jnp.float32)[None]  # (1, Mp)
         q8 = jnp.concatenate(
-            [coords, mrow, jnp.zeros((4, npad_total), jnp.float32)], axis=0
+            [pts_t, mrow, jnp.zeros((4, mp), jnp.float32)], axis=0
         )
         # Sweep A: moments -> covariance -> PCA normal, all plane-wise
         # ((N, 3, 3)/(N, 9) layouts waste 125/128 lanes — see
@@ -238,7 +241,7 @@ def fused_prepare_features(
         momout = moments_sweep_pallas(
             q8, pts_t, lo, length, r2, block=block, sub=sub,
             interpret=interpret,
-        )[:n]
+        )
         cnt = jnp.maximum(momout[:, 9], 1.0)
         mx, my, mz = (momout[:, k] / cnt for k in (0, 1, 2))
         c00 = momout[:, 3] / cnt - mx * mx
@@ -249,14 +252,13 @@ def fused_prepare_features(
         c12 = momout[:, 8] / cnt - my * mz
         nx, ny, nz = smallest_eigvec_3x3_planes(c00, c01, c02, c11, c12, c22)
         # Flip toward the viewpoint/origin (plane-wise), and zero
-        # invalid rows (their covariance is zeros -> NaN-free planes;
-        # _scatter_back re-masks by cloud.mask anyway).
+        # invalid/padding rows (their covariance is zeros -> NaN-free
+        # planes; the final scatter re-masks by cloud.mask anyway).
         flip = nx * pts_t[0] + ny * pts_t[1] + nz * pts_t[2] > 0
         sgn = jnp.where(
-            slab.valid_sorted, jnp.where(flip, -1.0, 1.0), 0.0
+            al.valid_padded, jnp.where(flip, -1.0, 1.0), 0.0
         )
         nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
-        normals_sorted = jnp.stack([nx, ny, nz], axis=1)
         # Sweep B: packed [coords | b=p×n | n | a=p·n]; queries carry
         # their normal (b_i/a_i are rebuilt in-kernel from those — cheap
         # per-block, while the candidate side is per-PAIR work saved).
@@ -270,11 +272,12 @@ def fused_prepare_features(
         # (coords ~1e3+) would otherwise push angle-bin error past the
         # 0.18 bin width. The shift keeps |p| ~ O(cloud extent); d²/phi
         # are translation-invariant, so nothing else changes.
-        nrm_t = jnp.stack([nx, ny, nz])  # (3, M)
-        wv = slab.valid_sorted.astype(jnp.float32)
+        nrm_t = jnp.stack([nx, ny, nz])  # (3, Mp)
+        wv = al.valid_padded.astype(jnp.float32)
         cnt_v = jnp.maximum(jnp.sum(wv), 1.0)
         ctr = jnp.stack(
-            [jnp.sum(pts_t[i] * wv) / cnt_v for i in range(3)]
+            [jnp.sum(jnp.where(al.valid_padded, pts_t[i], 0.0)) / cnt_v
+             for i in range(3)]
         )  # (3,)
         cpts_t = pts_t - ctr[:, None]  # sentinels stay ~3e4 — still inert
         b3 = jnp.stack(
@@ -290,33 +293,61 @@ def fused_prepare_features(
         )
         packed_b = jnp.concatenate(
             [cpts_t, b3, nrm_t, arow[None]], axis=0
-        )  # (10, M)
-        qn_pad = jnp.pad(nrm_t, ((0, 0), (0, pad)))  # (3, Np)
+        )  # (10, Mp)
         q8n = jnp.concatenate(
-            [coords - ctr[:, None], mrow, qn_pad,
-             jnp.zeros((1, npad_total), jnp.float32)],
+            [cpts_t, mrow, nrm_t, jnp.zeros((1, mp), jnp.float32)],
             axis=0,
         )
         spfhout = spfh_sweep_pallas(
             q8n, packed_b, lo, length, r2, block=block, sub=sub,
             interpret=interpret,
-        )[:n]
-        spfh_sorted = _hist_from_cums(spfhout[:, :30], spfhout[:, 30])
+        )
+        spfh_padded = _hist_from_cums(spfhout[:, :30], spfhout[:, 30])
         # Sweep C: packed (coords | SPFH planes).
-        packed_c = jnp.concatenate([pts_t, spfh_sorted.T], axis=0)  # (36, M)
+        packed_c = jnp.concatenate(
+            [pts_t, spfh_padded.T], axis=0
+        )  # (36, Mp)
         wsum = fpfh_sweep_pallas(
             q8, packed_c, lo, length, r2, block=block, sub=sub,
             interpret=interpret,
-        )[:n, :33]
-        f = spfh_sorted + wsum
+        )[:, :33]
+        f = spfh_padded + wsum
         sf = jnp.sum(f, axis=1, keepdims=True)
-        fpfh_sorted = jnp.where(sf > 0, f / jnp.maximum(sf, 1e-30), f)
-        return _scatter_back(
-            cloud, slab, normals_sorted, fpfh_sorted, overflow,
-            return_overflow,
+        fpfh_padded = jnp.where(sf > 0, f / jnp.maximum(sf, 1e-30), f)
+        # Back to original row order: padded_orig is a permutation plus
+        # unique out-of-bounds values on padding rows — one scatter with
+        # OOB drop, no extra sort.
+        normals_padded = jnp.stack([nx, ny, nz], axis=1)  # (Mp, 3)
+        normals = (
+            jnp.zeros((n, 3), jnp.float32)
+            .at[al.padded_orig].set(
+                normals_padded, mode="drop", unique_indices=True
+            )
         )
+        fpfh = (
+            jnp.zeros((n, 33), jnp.float32)
+            .at[al.padded_orig].set(
+                fpfh_padded, mode="drop", unique_indices=True
+            )
+        )
+        normals = jnp.where(cloud.mask[:, None], normals, 0.0)
+        fpfh = jnp.where(cloud.mask[:, None], fpfh, 0.0)
+        out = (
+            cloud._replace(normals=normals),
+            FPFHFeatures(descriptors=fpfh, mask=cloud.mask),
+        )
+        if return_overflow:
+            return out + (jnp.bool_(False),)
+        return out
 
     # --- XLA engine: (nb, B, 3) query blocks -------------------------------
+    slab = build_slab2(cloud.points, cloud.mask, 2.0 * r)
+    m = slab.sorted_points.shape[0]
+    pts_t = slab.sorted_points_t  # (3, M) slab2 order
+    n = m
+    pad = (-n) % block
+    mb = jnp.pad(slab.valid_sorted, (0, pad)).reshape(-1, block)
+    overflow = jnp.bool_(False)
     sub = min(sub, m)  # dynamic_slice bound (the Pallas wrappers self-clamp)
     pts = slab.sorted_points
     qp = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=2.9e4)

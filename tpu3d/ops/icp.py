@@ -59,6 +59,8 @@ from tpu3d.ops.transforms import (
 )
 from tpu3d.types import PointCloud, RegistrationResult
 
+from tpu3d.utils.platform import on_tpu
+
 _BIG = jnp.float32(1e30)
 
 
@@ -253,7 +255,7 @@ def fused_slab_stats_fn(
     col = jnp.arange(sub)
 
     if use_pallas == "auto":
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = on_tpu()
     if use_pallas and point_to_plane and nrm_t is not None:
         from tpu3d.ops.icp_pallas import icp_p2plane_stats_pallas
 

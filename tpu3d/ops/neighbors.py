@@ -20,6 +20,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from tpu3d.utils.platform import on_tpu
+
 _BIG = jnp.float32(1e30)
 
 
@@ -59,7 +61,7 @@ def _pad_rows(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
 def _auto_method(m: int) -> str:
     """'approx' pays off on TPU once the target count is large; the exact
     path is kept for CPU runs and fidelity/golden tests."""
-    if jax.default_backend() == "tpu" and m >= 8192:
+    if on_tpu() and m >= 8192:
         return "approx"
     return "exact"
 

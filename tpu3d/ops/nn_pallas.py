@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpu3d.utils.platform import on_tpu
+
 
 _SENTINEL = 1.0e6  # coordinate magnitude pushed onto invalid/padded targets
 _BIG = 1.0e30
@@ -190,7 +192,7 @@ def nearest_neighbor(
     """Backend-dispatching top-1 NN: Pallas on TPU, interpreted elsewhere
     falls back to the XLA formulation in :mod:`tpu3d.ops.neighbors` (faster
     than the Pallas interpreter on CPU, same semantics)."""
-    if jax.default_backend() == "tpu":
+    if on_tpu():
         return nearest_neighbor_pallas(queries, targets, target_mask, **kwargs)
     from tpu3d.ops.neighbors import nearest_neighbor_xla
 

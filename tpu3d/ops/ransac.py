@@ -42,6 +42,8 @@ from tpu3d.ops.ransac_pallas import score_hypotheses_pallas
 from tpu3d.ops.transforms import kabsch_quat, make_transform
 from tpu3d.types import FPFHFeatures, PointCloud, RegistrationResult
 
+from tpu3d.utils.platform import on_tpu
+
 
 def decimation_stride(n: int, cap: int) -> int:
     """Stride for gather-free strided decimation of ``n`` rows down to
@@ -59,6 +61,87 @@ def decimation_stride(n: int, cap: int) -> int:
     return stride
 
 
+def build_scoring_factors(p_, q_, mask_):
+    """Point-side rank-16 scoring factors for err²[n,h] = F_n·W_h + pq_n +
+    ‖t_h‖² (see module docstring). K-major (16, N) layout: the 9
+    outer-product rows are plain (N,) elementwise products — the
+    (N,3,1)x(N,1,3) broadcast form wastes 125/128 lanes and its (N,9)
+    reshape is a relayout (measured 33 ms at 16k rows on a v5e, vs ~0 for
+    this formulation). Invalid rows get pq = 1e30 so they can never score
+    as inliers. Shared by the single-chip path and the hypothesis-sharded
+    path (tpu3d/parallel/ransac_sharded.py)."""
+    px, py, pz = p_[:, 0], p_[:, 1], p_[:, 2]
+    qx, qy, qz = q_[:, 0], q_[:, 1], q_[:, 2]
+    pq = px * px + py * py + pz * pz + qx * qx + qy * qy + qz * qz
+    pq = jnp.where(mask_, pq, 1e30)  # invalid rows never hit
+    ft = jnp.stack(
+        [
+            2.0 * px, 2.0 * py, 2.0 * pz,
+            -2.0 * qx, -2.0 * qy, -2.0 * qz,
+            -2.0 * qx * px, -2.0 * qx * py, -2.0 * qx * pz,
+            -2.0 * qy * px, -2.0 * qy * py, -2.0 * qy * pz,
+            -2.0 * qz * px, -2.0 * qz * py, -2.0 * qz * pz,
+            jnp.zeros(p_.shape[:1], jnp.float32),  # pad 15 → 16
+        ]
+    )  # (16, N) — rows 6-14 pair with vec(R) row-major in w16t
+    return ft, pq
+
+
+def pack_hypotheses(Rs, ts):
+    """(h,3,3)/(h,3) QCP solutions → K-major (16, h) scoring factors
+    [Rᵀt | t | vec(R) | 0] plus ‖t‖² — the hypothesis side of the rank-16
+    expansion. Built as 16 stacked (h,) vectors (an (h,16)
+    concat-then-transpose relayout costs real milliseconds on TPU)."""
+    u = jnp.einsum("hij,hi->hj", Rs, ts)  # Rᵀ t
+    h = ts.shape[0]
+    w16t = jnp.stack(
+        [u[:, 0], u[:, 1], u[:, 2], ts[:, 0], ts[:, 1], ts[:, 2]]
+        + [Rs[:, i, j] for i in range(3) for j in range(3)]
+        + [jnp.zeros((h,), jnp.float32)]
+    )  # (16, h)
+    return w16t, jnp.sum(ts * ts, axis=1)
+
+
+def score_w16(feat_s, pq_s, w_s, tn_s, thr2, chunk=512):
+    """Exact inlier count + squared-error sum per hypothesis — Pallas
+    fused on TPU, chunked lax.map elsewhere. feat_s (16, N) and w_s
+    (16, H) are K-major."""
+    if on_tpu():
+        return score_hypotheses_pallas(feat_s, pq_s, w_s, tn_s, thr2)
+
+    def score_chunk(args):
+        wc, tc = args  # (16, C), (C,)
+        err2 = (
+            jax.lax.dot_general(
+                feat_s, wc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + pq_s[:, None]
+            + tc[None, :]
+        )
+        inl = err2 < thr2
+        return (
+            jnp.sum(inl.astype(jnp.float32), axis=0),
+            jnp.sum(jnp.where(inl, jnp.maximum(err2, 0.0), 0.0), axis=0),
+        )
+
+    hh = w_s.shape[1]
+    cc = min(chunk, hh)
+    pad_h = (-hh) % cc  # padded hypotheses score harmlessly (id transform)
+    if pad_h:
+        w_s = jnp.pad(w_s, ((0, 0), (0, pad_h)))
+        tn_s = jnp.pad(tn_s, (0, pad_h))
+    n_chunks = (hh + pad_h) // cc
+    c_, e_ = jax.lax.map(
+        score_chunk,
+        (
+            jnp.moveaxis(w_s.reshape(16, n_chunks, cc), 1, 0),
+            tn_s.reshape(n_chunks, cc),
+        ),
+    )
+    return c_.reshape(-1)[:hh], e_.reshape(-1)[:hh]
+
+
 def feature_correspondences(
     source_features: FPFHFeatures, target_features: FPFHFeatures
 ) -> jnp.ndarray:
@@ -71,7 +154,7 @@ def feature_correspondences(
     import jax as _jax
 
     kwargs = (
-        {"precision": "fast3"} if _jax.default_backend() == "tpu" else {}
+        {"precision": "fast3"} if on_tpu() else {}
     )
     idx, _ = nearest_neighbor(
         source_features.descriptors,
@@ -191,9 +274,13 @@ def ransac_registration(
     def solve_hypotheses(kc, h, first_id):
         """Sample ``h`` 3-point hypotheses (duplicate indices rejected,
         registration.cpp:239-240), QCP-solve, and pack the rank-15 scoring
-        factors. Returns (w16t (16,h), t_norm (h,), disabled (h,), Rs, ts).
-        w16t is built K-major (16 rows of (h,) vectors) — an (h,16)
-        concat-then-transpose relayout costs real milliseconds on TPU."""
+        factors. Returns (w16t (16,h), t_norm (h,), disabled (h,)); the
+        winning transform is recovered from the w16 column (rows 3-5 = t,
+        6-14 = vec(R)). NOTE(perf, v5e): a fully plane-based variant
+        (3,h) draws + 18 one-dim coordinate gathers + kabsch3_planes was
+        measured ~2x SLOWER end to end — XLA vectorizes the single (h,3)
+        row gather far better than many 1-D gathers; the (h,3,3) sample
+        gather at 1.8 ms/50k-chunk is the cheaper layout here."""
         draws = jax.random.randint(kc, (h, 3), 0, count)
         dup = (
             (draws[:, 0] == draws[:, 1])
@@ -205,74 +292,15 @@ def ransac_registration(
         sample_idx = perm[draws]  # (h, 3) indices into capacity rows
         # Closed-form QCP solve — no batched SVD (registration.cpp:254-262).
         Rs, ts = kabsch_quat(p[sample_idx], q[sample_idx])
-        u = jnp.einsum("hij,hi->hj", Rs, ts)  # Rᵀ t
-        w16t = jnp.stack(
-            [u[:, 0], u[:, 1], u[:, 2], ts[:, 0], ts[:, 1], ts[:, 2]]
-            + [Rs[:, i, j] for i in range(3) for j in range(3)]
-            + [jnp.zeros((h,), jnp.float32)]
-        )  # (16, h)
-        return w16t, jnp.sum(ts * ts, axis=1), disabled, Rs, ts
+        w16t, t_norm = pack_hypotheses(Rs, ts)
+        return w16t, t_norm, disabled
 
     # --- point-side scoring factors (hypothesis independent) ----------------
-    # K-major (16, N) layout: the 9 outer-product rows are plain (N,)
-    # elementwise products. The (N,3,1)x(N,1,3) broadcast form wastes
-    # 125/128 lanes and its (N,9) reshape is a relayout — measured 33 ms
-    # at 16k rows on a v5e, vs ~0 for this formulation.
-    def build_factors(p_, q_, mask_):
-        px, py, pz = p_[:, 0], p_[:, 1], p_[:, 2]
-        qx, qy, qz = q_[:, 0], q_[:, 1], q_[:, 2]
-        pq = px * px + py * py + pz * pz + qx * qx + qy * qy + qz * qz
-        pq = jnp.where(mask_, pq, 1e30)  # invalid rows never hit
-        ft = jnp.stack(
-            [
-                2.0 * px, 2.0 * py, 2.0 * pz,
-                -2.0 * qx, -2.0 * qy, -2.0 * qz,
-                -2.0 * qx * px, -2.0 * qx * py, -2.0 * qx * pz,
-                -2.0 * qy * px, -2.0 * qy * py, -2.0 * qy * pz,
-                -2.0 * qz * px, -2.0 * qz * py, -2.0 * qz * pz,
-                jnp.zeros(p_.shape[:1], jnp.float32),  # pad 15 → 16
-            ]
-        )  # (16, N) — rows 6-14 pair with vec(R) row-major in w16t
-        return ft, pq
-
-    feat_t, pq_norm = build_factors(p, q, src_mask)
+    feat_t, pq_norm = build_scoring_factors(p, q, src_mask)
 
     def score_all(feat_s, pq_s, w_s, tn_s):
         """feat_s (16, N) K-major; w_s (16, H) K-major."""
-        if jax.default_backend() == "tpu":
-            return score_hypotheses_pallas(feat_s, pq_s, w_s, tn_s, thr2)
-
-        def score_chunk(args):
-            wc, tc = args  # (16, C), (C,)
-            err2 = (
-                jax.lax.dot_general(
-                    feat_s, wc, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                + pq_s[:, None]
-                + tc[None, :]
-            )
-            inl = err2 < thr2
-            return (
-                jnp.sum(inl.astype(jnp.float32), axis=0),
-                jnp.sum(jnp.where(inl, jnp.maximum(err2, 0.0), 0.0), axis=0),
-            )
-
-        hh = w_s.shape[1]
-        cc = min(chunk, hh)
-        pad_h = (-hh) % cc  # padded hypotheses score harmlessly (id transform)
-        if pad_h:
-            w_s = jnp.pad(w_s, ((0, 0), (0, pad_h)))
-            tn_s = jnp.pad(tn_s, (0, pad_h))
-        n_chunks = (hh + pad_h) // cc
-        c_, e_ = jax.lax.map(
-            score_chunk,
-            (
-                jnp.moveaxis(w_s.reshape(16, n_chunks, cc), 1, 0),
-                tn_s.reshape(n_chunks, cc),
-            ),
-        )
-        return c_.reshape(-1)[:hh], e_.reshape(-1)[:hh]
+        return score_w16(feat_s, pq_s, w_s, tn_s, thr2, chunk=chunk)
 
     sub_n = 16384
     finalists = min(1024, h_total)
@@ -310,13 +338,13 @@ def ransac_registration(
             p_e = p[:tke].reshape(est_cap, st_e, 3)[:, 0]
             q_e = q[:tke].reshape(est_cap, st_e, 3)[:, 0]
             m_e = src_mask[:tke].reshape(est_cap, st_e)[:, 0]
-            feat_e, pq_e = build_factors(p_e, q_e, m_e)
+            feat_e, pq_e = build_scoring_factors(p_e, q_e, m_e)
             n_valid_e = jnp.maximum(jnp.sum(m_e.astype(jnp.float32)), 1.0)
             k_fin = min(16, hyp_chunk)
 
         def body(state):
             c, _, bf, br, bw = state
-            w16t, t_norm, disabled, _, _ = solve_hypotheses(
+            w16t, t_norm, disabled = solve_hypotheses(
                 jax.random.fold_in(hyp_key, c), hyp_chunk, c * hyp_chunk
             )
             if use_est:
@@ -388,7 +416,7 @@ def ransac_registration(
         best_R = bw[6:15].reshape(3, 3)
         best_t = bw[3:6]
     elif two_stage:
-        w16t, t_norm, disabled, Rs, ts = solve_hypotheses(key, h_total, 0)
+        w16t, t_norm, disabled = solve_hypotheses(key, h_total, 0)
         h_ids = jnp.arange(h_total)
         # Stage 1: estimate fitness on a random point subsample.
         skey = jax.random.fold_in(key, 1)
@@ -416,9 +444,11 @@ def ransac_registration(
             jnp.sqrt(err2sum[best_f] / jnp.maximum(cnt2[best_f], 1.0)),
             999.0,
         )
-        best_R, best_t = Rs[best], ts[best]
+        bw = w16t[:, best]
+        best_R = bw[6:15].reshape(3, 3)
+        best_t = bw[3:6]
     else:
-        w16t, t_norm, disabled, Rs, ts = solve_hypotheses(key, h_total, 0)
+        w16t, t_norm, disabled = solve_hypotheses(key, h_total, 0)
         h_ids = jnp.arange(h_total)
         cnt, errsum = score_all(feat_t, pq_norm, w16t, t_norm)
         fitness = jnp.where(disabled, -1.0, cnt / jnp.maximum(n_valid, 1.0))
@@ -435,7 +465,9 @@ def ransac_registration(
         best = jnp.argmax(masked_fitness)  # first of equals == strict >
         best_fitness = fitness[best]
         best_rmse = rmse[best]
-        best_R, best_t = Rs[best], ts[best]
+        bw = w16t[:, best]
+        best_R = bw[6:15].reshape(3, 3)
+        best_t = bw[3:6]
 
     won = best_fitness > 0.0  # reference: must beat the 0-fitness default
     T = make_transform(best_R, best_t)

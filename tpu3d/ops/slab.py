@@ -33,6 +33,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from tpu3d.utils.platform import on_tpu
+
 _BIG = jnp.float32(1e30)
 
 
@@ -161,7 +163,7 @@ def slab_knn(
     r2 = jnp.asarray(radius, jnp.float32) ** 2
     k_eff = min(k, slice_cap)
     if method == "auto":
-        method = "approx" if jax.default_backend() == "tpu" else "exact"
+        method = "approx" if on_tpu() else "exact"
 
     def one(args):
         qc, lo_b, len_b = args

@@ -197,3 +197,192 @@ def block_windows(
         jnp.int32
     )
     return lo_all, len_all
+
+
+# ---------------------------------------------------------------------------
+# Bucket-aligned padded layout
+# ---------------------------------------------------------------------------
+#
+# The plain slab2 layout blocks the sorted rows raw, so a query block that
+# straddles a bucket boundary unions the y-ranges of BOTH pieces — its
+# trimmed windows blow up to near-full buckets (~13% of blocks at 100k pts,
+# measured 654 vs ~450 mean candidate rows/block). This variant pads each
+# bucket's y-sorted run to a multiple of the query block size, so EVERY
+# block lies inside exactly one bucket:
+#   * windows per block drop to exactly 2·ceil(r/w)+1 = 3 (no overflow
+#     window, no per-query bucket selection — all queries share the trim);
+#   * padding rows are EXCLUDED from candidate windows entirely (window
+#     bounds come from the un-padded key array + per-bucket offsets), so
+#     sweeps never scan a sentinel.
+# Exactness is unchanged: windows still cover [x−r, x+r] × (y ± r,
+# quantization-widened) per block, and the d² gate does the rest.
+
+
+class AlignedSlab2(NamedTuple):
+    padded_points_t: jnp.ndarray  # f32[3, Mp] planes; sentinel 3e4 padding
+    padded_orig: jnp.ndarray  # i32[Mp] original row; unique OOB in padding
+    valid_padded: jnp.ndarray  # bool[Mp]
+    sorted_key: jnp.ndarray  # i32[N] REAL rows' ascending keys (no padding)
+    starts_real: jnp.ndarray  # i32[NB+1] real start row per bucket
+    offsets: jnp.ndarray  # i32[NB+1] PADDED start row per bucket
+    x0: jnp.ndarray
+    inv_w: jnp.ndarray
+    y0: jnp.ndarray
+    y_scale: jnp.ndarray
+
+
+def aligned_capacity(n: int, block: int, max_buckets: int) -> int:
+    """Static padded size: every nonempty bucket pads by < block rows."""
+    mp = n + max_buckets * (block - 1)
+    return -(-mp // block) * block
+
+
+def build_slab2_aligned(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    bucket_width,
+    block: int = 128,
+    max_buckets: int = 128,
+) -> AlignedSlab2:
+    """One argsort + cumulative-marker padding shift — no gathers.
+
+    ``max_buckets`` (static, ≤ 2047) bounds the bucket count; the width
+    widens automatically when the x-extent needs more, which only loosens
+    the windows (still exact)."""
+    assert max_buckets <= _NB_MAX
+    pts = points.astype(jnp.float32)
+    n = pts.shape[0]
+    mp = aligned_capacity(n, block, max_buckets)
+    x = jnp.where(mask, pts[:, 0], _SENTINEL)
+    y = jnp.where(mask, pts[:, 1], _SENTINEL)
+    x0 = jnp.min(x)
+    y0 = jnp.min(y)
+    xext = jnp.max(jnp.where(mask, pts[:, 0], -_SENTINEL)) - x0
+    yext = jnp.max(jnp.where(mask, pts[:, 1], -_SENTINEL)) - y0
+    w = jnp.maximum(
+        jnp.asarray(bucket_width, jnp.float32), xext / (max_buckets - 1)
+    )
+    inv_w = 1.0 / jnp.maximum(w, 1e-12)
+    y_scale = (_Y_MAX - 1) / jnp.maximum(yext, 1e-12)
+
+    bucket = jnp.where(
+        mask,
+        jnp.clip(
+            jnp.floor((pts[:, 0] - x0) * inv_w).astype(jnp.int32),
+            0, max_buckets - 1,
+        ),
+        _NB_MAX,
+    )
+    qy = jnp.where(mask, _qy_of(pts[:, 1], y0, y_scale), _Y_MAX)
+    key = (bucket << _Y_BITS) | qy
+
+    order = jnp.argsort(key).astype(jnp.int32)
+    skey = key[order]
+    svalid = mask[order]
+    spts = jnp.where(svalid[:, None], pts[order], _SENTINEL)
+
+    # Real bucket boundaries: one vectorized searchsorted of the NB+1
+    # static bucket keys (invalid rows key to _NB_MAX<<20 and land after
+    # every boundary).
+    bounds = jnp.arange(max_buckets + 1, dtype=jnp.int32) << _Y_BITS
+    starts = jnp.searchsorted(skey, bounds).astype(jnp.int32)  # (NB+1,)
+    counts = starts[1:] - starts[:-1]
+    pcounts = -(-counts // block) * block
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pcounts).astype(jnp.int32)]
+    )  # (NB+1,)
+
+    # Destination of each real sorted row: its index plus the padding
+    # accumulated by all PRIOR bucket runs — a cumulative sum of markers
+    # placed at segment starts (no per-row table gathers).
+    i_idx = jnp.arange(n, dtype=jnp.int32)
+    sb = skey >> _Y_BITS
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), bool), sb[1:] != sb[:-1]]
+    )
+    seg_start = jnp.where(new_seg, i_idx, 0)
+    start_i = jax.lax.cummax(seg_start)  # start of MY segment
+    prev_start = jnp.concatenate([jnp.zeros((1,), jnp.int32), start_i[:-1]])
+    marker = jnp.where(
+        new_seg & (i_idx > 0), (-(i_idx - prev_start)) % block, 0
+    )
+    padshift = jnp.cumsum(marker).astype(jnp.int32)
+    dest = jnp.where(svalid, i_idx + padshift, mp)  # invalid → dropped
+
+    planes = []
+    for c in range(3):
+        planes.append(
+            jnp.full((mp,), _SENTINEL, jnp.float32)
+            .at[dest].set(spts[:, c], mode="drop")
+        )
+    padded_points_t = jnp.stack(planes)
+    valid_padded = (
+        jnp.zeros((mp,), bool).at[dest].set(svalid, mode="drop")
+    )
+    # Padding rows get UNIQUE out-of-bounds originals (n + position) so a
+    # later unique-promise scatter back to original rows can drop them.
+    padded_orig = (
+        (jnp.arange(mp, dtype=jnp.int32) + n)
+        .at[dest].set(order, mode="drop")
+    )
+    return AlignedSlab2(
+        padded_points_t=padded_points_t,
+        padded_orig=padded_orig,
+        valid_padded=valid_padded,
+        sorted_key=skey,
+        starts_real=starts,
+        offsets=offsets,
+        x0=x0,
+        inv_w=inv_w,
+        y0=y0,
+        y_scale=y_scale,
+    )
+
+
+def aligned_block_windows(
+    al: AlignedSlab2,
+    radius,
+    block: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-block candidate windows over the SAME aligned layout (self-join):
+    (lo i32[nbk, 3], len i32[nbk, 3]) — padded-row coordinates, padding
+    excluded. Window k covers bucket (b−1+k) trimmed to the block's valid-
+    query y-range ± radius (quantization-widened superset)."""
+    r = jnp.asarray(radius, jnp.float32)
+    mp = al.valid_padded.shape[0]
+    nbk = mp // block
+    nb = al.offsets.shape[0] - 1
+    vm = al.valid_padded.reshape(nbk, block)
+    qy_b = al.padded_points_t[1].reshape(nbk, block)
+
+    blk_start = jnp.arange(nbk, dtype=jnp.int32) * block
+    b_blk = (
+        jnp.searchsorted(al.offsets, blk_start, side="right").astype(
+            jnp.int32
+        )
+        - 1
+    )  # owning bucket; tail blocks map past the last bucket
+    live = jnp.any(vm, axis=1) & (b_blk >= 0) & (b_blk < nb)
+
+    big = jnp.float32(jnp.inf)
+    ylo = jnp.min(jnp.where(vm, qy_b, big), axis=1) - r
+    yhi = jnp.max(jnp.where(vm, qy_b, -big), axis=1) + r
+    qy_lo = _qy_of(ylo, al.y0, al.y_scale)  # (nbk,)
+    qy_hi = _qy_of(yhi, al.y0, al.y_scale)
+
+    ks = jnp.arange(3, dtype=jnp.int32) - 1
+    cand = b_blk[:, None] + ks[None, :]  # (nbk, 3)
+    ok = live[:, None] & (cand >= 0) & (cand < nb)
+    cc = jnp.clip(cand, 0, nb - 1)
+    key_lo = (cc << _Y_BITS) | qy_lo[:, None]
+    key_hi = (cc << _Y_BITS) | qy_hi[:, None]
+    skey = al.sorted_key
+    lo_r = jnp.searchsorted(skey, key_lo.ravel()).reshape(key_lo.shape)
+    hi_r = jnp.searchsorted(
+        skey, key_hi.ravel(), side="right"
+    ).reshape(key_hi.shape)
+    length = jnp.where(ok, hi_r - lo_r, 0).astype(jnp.int32)
+    # Real row → padded row: shift by the bucket's padding offset.
+    lo_p = (al.offsets[cc] + (lo_r - al.starts_real[cc])).astype(jnp.int32)
+    lo_p = jnp.where(ok, lo_p, 0)
+    return lo_p, length

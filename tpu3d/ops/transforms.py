@@ -190,7 +190,46 @@ def kabsch_quat(
         weights * (jnp.sum(src_c * src_c, -1) + jnp.sum(tgt_c * tgt_c, -1)),
         axis=-1,
     )
+    q0, qx, qy, qz = _qcp_quat_planes(
+        sxx, sxy, sxz, syx, syy, syz, szx, szy, szz, e0, newton_iters
+    )
 
+    row0 = jnp.stack(
+        [
+            q0 * q0 + qx * qx - qy * qy - qz * qz,
+            2 * (qx * qy - q0 * qz),
+            2 * (qx * qz + q0 * qy),
+        ],
+        -1,
+    )
+    row1 = jnp.stack(
+        [
+            2 * (qy * qx + q0 * qz),
+            q0 * q0 - qx * qx + qy * qy - qz * qz,
+            2 * (qy * qz - q0 * qx),
+        ],
+        -1,
+    )
+    row2 = jnp.stack(
+        [
+            2 * (qz * qx - q0 * qy),
+            2 * (qz * qy + q0 * qx),
+            q0 * q0 - qx * qx - qy * qy + qz * qz,
+        ],
+        -1,
+    )
+    R = jnp.stack([row0, row1, row2], -2)
+    t = tgt_mean[..., 0, :] - (R @ src_mean[..., 0, :, None])[..., 0]
+    return R, t
+
+
+def _qcp_quat_planes(
+    sxx, sxy, sxz, syx, syy, syz, szx, szy, szz, e0, newton_iters=12
+):
+    """Largest-eigenvalue quaternion of the Horn matrix from correlation
+    PLANES (QCP: Newton on the characteristic quartic from λ₀ = E0, then
+    adjugate columns + Rayleigh polish) — shared by :func:`kabsch_quat`
+    and the gather-free 3-point solver :func:`kabsch3_planes`."""
     # Horn matrix N (symmetric, traceless) as 10 unique planes.
     n00 = sxx + syy + szz
     n01 = syz - szy
@@ -295,32 +334,55 @@ def kabsch_quat(
     for _ in range(2):
         lam = _rayleigh(v)
         v = _adj_best_col(lam)
-    q0, qx, qy, qz = v[0], v[1], v[2], v[3]
+    return v[0], v[1], v[2], v[3]
 
-    row0 = jnp.stack(
-        [
-            q0 * q0 + qx * qx - qy * qy - qz * qz,
-            2 * (qx * qy - q0 * qz),
-            2 * (qx * qz + q0 * qy),
-        ],
-        -1,
+
+def kabsch3_planes(ps, qs):
+    """Gather-free-layout 3-point Kabsch: inputs and outputs are PLANES.
+
+    ``ps``/``qs``: tuples of 3 sample tuples of (h,) coordinate planes —
+    ps[k][c] is coordinate c of sample k for every hypothesis. Returns
+    (r_planes (9 planes, row-major), t_planes (3 planes)). Same optimum as
+    :func:`kabsch_quat` (identical QCP core); exists because the RANSAC
+    hot path solves ~100k tiny problems per call and an (h, 3, 3) gather +
+    minor-dim-3 micro-ops costs real milliseconds on TPU, while 1-D plane
+    gathers and elementwise plane math cost ~nothing."""
+    third = jnp.float32(1.0 / 3.0)
+    pm = [(ps[0][c] + ps[1][c] + ps[2][c]) * third for c in range(3)]
+    qm = [(qs[0][c] + qs[1][c] + qs[2][c]) * third for c in range(3)]
+    pc = [[ps[k][c] - pm[c] for c in range(3)] for k in range(3)]
+    qc = [[qs[k][c] - qm[c] for c in range(3)] for k in range(3)]
+
+    def corr(i, j):
+        return (
+            pc[0][i] * qc[0][j] + pc[1][i] * qc[1][j] + pc[2][i] * qc[2][j]
+        )
+
+    sxx, sxy, sxz = corr(0, 0), corr(0, 1), corr(0, 2)
+    syx, syy, syz = corr(1, 0), corr(1, 1), corr(1, 2)
+    szx, szy, szz = corr(2, 0), corr(2, 1), corr(2, 2)
+    e0 = 0.5 * sum(
+        pc[k][c] * pc[k][c] + qc[k][c] * qc[k][c]
+        for k in range(3)
+        for c in range(3)
     )
-    row1 = jnp.stack(
-        [
-            2 * (qy * qx + q0 * qz),
-            q0 * q0 - qx * qx + qy * qy - qz * qz,
-            2 * (qy * qz - q0 * qx),
-        ],
-        -1,
+    q0, qx, qy, qz = _qcp_quat_planes(
+        sxx, sxy, sxz, syx, syy, syz, szx, szy, szz, e0
     )
-    row2 = jnp.stack(
-        [
-            2 * (qz * qx - q0 * qy),
-            2 * (qz * qy + q0 * qx),
-            q0 * q0 - qx * qx - qy * qy + qz * qz,
-        ],
-        -1,
+    r = (
+        q0 * q0 + qx * qx - qy * qy - qz * qz,
+        2 * (qx * qy - q0 * qz),
+        2 * (qx * qz + q0 * qy),
+        2 * (qy * qx + q0 * qz),
+        q0 * q0 - qx * qx + qy * qy - qz * qz,
+        2 * (qy * qz - q0 * qx),
+        2 * (qz * qx - q0 * qy),
+        2 * (qz * qy + q0 * qx),
+        q0 * q0 - qx * qx - qy * qy + qz * qz,
     )
-    R = jnp.stack([row0, row1, row2], -2)
-    t = tgt_mean[..., 0, :] - (R @ src_mean[..., 0, :, None])[..., 0]
-    return R, t
+    t = tuple(
+        qm[i] - (r[3 * i] * pm[0] + r[3 * i + 1] * pm[1]
+                 + r[3 * i + 2] * pm[2])
+        for i in range(3)
+    )
+    return r, t

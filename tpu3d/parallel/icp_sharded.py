@@ -32,7 +32,9 @@ from tpu3d.ops.icp import gathered_stats_fn, icp_loop
 from tpu3d.ops.transforms import transform_points
 from tpu3d.parallel.sharded_nn import (
     build_slab_sharded,
+    build_walk_sharded,
     nearest_neighbor_sharded,
+    slab2_top1_sharded,
     slab_top1_sharded,
 )
 from tpu3d.types import PointCloud, RegistrationResult
@@ -54,21 +56,36 @@ def icp_refine_sharded(
     axis: str = "shard",
     max_iterations: int = 200,
     point_to_plane: bool = True,
-    nn_mode: str = "slab",
+    nn_mode: str = "slab2",
     slice_cap: int = 4096,
 ) -> RegistrationResult:
     """Same semantics as ops.icp.icp_refine; target rows sharded over
     ``axis`` (row count must divide the axis size — pad with masked rows).
 
-    ``nn_mode``: 'slab' (per-shard x-sorted slab slices, the fast path) or
-    'brute' (per-shard full scan)."""
+    ``nn_mode``:
+      'slab2' — per-shard slab2 + Pallas walk (radius-exact for ANY
+                occupancy, no static cap — the single-chip round-2
+                exactness contract, distributed); the default.
+      'slab'  — legacy per-shard 1-D x-sorted slices with a static
+                ``slice_cap`` (can truncate on degenerate shards).
+      'brute' — per-shard full scan."""
     thr = jnp.asarray(distance_threshold, jnp.float32)
     use_p2l = point_to_plane and target.normals is not None
     n_valid = jnp.maximum(jnp.sum(source.mask.astype(jnp.float32)), 1.0)
     src_pts = source.points.astype(jnp.float32)
     smask = source.mask
 
-    if nn_mode == "slab":
+    if nn_mode == "slab2":
+        # Per-shard slab2 walk targets built ONCE; every iteration's query
+        # pass handles its own query-side coherence sort internally.
+        sw = build_walk_sharded(target.points, target.mask, thr, mesh, axis)
+
+        def corr_fn(P):
+            return slab2_top1_sharded(
+                sw, P, smask, thr, mesh, axis=axis
+            )
+
+    elif nn_mode == "slab":
         # Build per-shard slabs ONCE (the target never moves) and keep the
         # source x-sorted so slab query blocks stay coherent; all loop
         # reductions are permutation-invariant, so no un-sorting is needed.
