@@ -101,3 +101,41 @@ def test_rpy_zyx_gimbal_lock():
     rpy = np.asarray(transforms.matrix_to_rpy_zyx(jnp.asarray(R)))
     assert abs(rpy[1] - np.pi / 2) < 1e-5
     assert rpy[2] == 0.0
+
+
+def test_kabsch3_planes_matches_kabsch_quat():
+    """The plane-layout 3-point solver shares the QCP core with
+    kabsch_quat — same rotations/translations for random triples."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpu3d.ops.transforms import kabsch3_planes, kabsch_quat
+
+    rng = np.random.default_rng(7)
+    h = 64
+    src = rng.normal(size=(h, 3, 3)).astype(np.float32)
+    aa = rng.normal(size=3)
+    th = np.linalg.norm(aa)
+    k = aa / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    R = (np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K).astype(
+        np.float32
+    )
+    t = np.float32([0.1, -0.2, 0.05])
+    tgt = src @ R.T + t
+
+    Rq, tq = kabsch_quat(jnp.asarray(src), jnp.asarray(tgt))
+    ps = tuple(
+        tuple(jnp.asarray(src[:, k_, c]) for c in range(3)) for k_ in range(3)
+    )
+    qs = tuple(
+        tuple(jnp.asarray(tgt[:, k_, c]) for c in range(3)) for k_ in range(3)
+    )
+    rp, tp = kabsch3_planes(ps, qs)
+    Rp = np.stack([np.asarray(x) for x in rp], axis=1).reshape(h, 3, 3)
+    Tp = np.stack([np.asarray(x) for x in tp], axis=1)
+    np.testing.assert_allclose(np.asarray(Rq), Rp, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(tq), Tp, atol=1e-4)
+    # Both recover the ground-truth rigid motion on exact data (f32 QCP
+    # Newton precision on random triples is ~1e-4).
+    np.testing.assert_allclose(Rp, np.broadcast_to(R, (h, 3, 3)), atol=1e-3)

@@ -151,11 +151,7 @@ def feature_correspondences(
     33-D cross term rides the MXU) in bf16x3: it keeps ~1e-7
     relative distance accuracy, which only reorders exact near-ties while
     halving the kernel's MXU passes."""
-    import jax as _jax
-
-    kwargs = (
-        {"precision": "fast3"} if on_tpu() else {}
-    )
+    kwargs = {"precision": "fast3"} if on_tpu() else {}
     idx, _ = nearest_neighbor(
         source_features.descriptors,
         target_features.descriptors,
