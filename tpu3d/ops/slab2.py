@@ -279,7 +279,10 @@ def build_slab2_aligned(
     order = jnp.argsort(key).astype(jnp.int32)
     skey = key[order]
     svalid = mask[order]
-    spts = jnp.where(svalid[:, None], pts[order], _SENTINEL)
+    pts_ord = pts[order]
+    sp_rows = jnp.stack(
+        [jnp.where(svalid, pts_ord[:, c], _SENTINEL) for c in range(3)]
+    )  # (3, n) — column slices, no (n,3)->(3,n) relayout
 
     # Real bucket boundaries: one vectorized searchsorted of the NB+1
     # static bucket keys (invalid rows key to _NB_MAX<<20 and land after
@@ -309,22 +312,35 @@ def build_slab2_aligned(
     padshift = jnp.cumsum(marker).astype(jnp.int32)
     dest = jnp.where(svalid, i_idx + padshift, mp)  # invalid → dropped
 
-    planes = []
-    for c in range(3):
-        planes.append(
-            jnp.full((mp,), _SENTINEL, jnp.float32)
-            .at[dest].set(spts[:, c], mode="drop")
-        )
-    padded_points_t = jnp.stack(planes)
-    valid_padded = (
-        jnp.zeros((mp,), bool).at[dest].set(svalid, mode="drop")
-    )
-    # Padding rows get UNIQUE out-of-bounds originals (n + position) so a
-    # later unique-promise scatter back to original rows can drop them.
-    padded_orig = (
-        (jnp.arange(mp, dtype=jnp.int32) + n)
-        .at[dest].set(order, mode="drop")
-    )
+    # ONE (8, Mp) column scatter instead of five 1-D scatters: rows are
+    # [x, y, z, valid, orig, pad(3)] — the f32 orig payload is exact for
+    # n + Mp < 2^24 (asserted), and padding rows keep UNIQUE out-of-bounds
+    # originals (n + position) so a later unique-promise scatter back to
+    # original rows can drop them.
+    assert n + mp < (1 << 24), "f32 orig payload exactness bound"
+    zrow = jnp.zeros((1, n), jnp.float32)
+    payload8 = jnp.concatenate(
+        [
+            sp_rows,
+            svalid.astype(jnp.float32)[None],
+            order.astype(jnp.float32)[None],
+            zrow, zrow, zrow,
+        ],
+        axis=0,
+    )  # (8, n)
+    base8 = jnp.concatenate(
+        [
+            jnp.full((3, mp), _SENTINEL, jnp.float32),
+            jnp.zeros((1, mp), jnp.float32),
+            (jnp.arange(mp, dtype=jnp.float32) + n)[None],
+            jnp.zeros((3, mp), jnp.float32),
+        ],
+        axis=0,
+    )  # (8, mp)
+    padded8 = base8.at[:, dest].set(payload8, mode="drop")
+    padded_points_t = padded8[:3]
+    valid_padded = padded8[3] > 0.5
+    padded_orig = padded8[4].astype(jnp.int32)
     return AlignedSlab2(
         padded_points_t=padded_points_t,
         padded_orig=padded_orig,
