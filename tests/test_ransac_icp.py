@@ -344,3 +344,61 @@ def test_subsample_modes_fall_back_on_small_clouds(rng):
         nn_mode="slab", src_mode="subsample",
     )
     assert float(ref.fitness) > 0.9
+
+
+def test_exact_mode_reproduces_oracle_fitness_at_scale(rng):
+    """The YAML-exposed exactness knob (corr_mode='exact',
+    PARITY.md "Exact vs statistical metrics"): at a size where 'auto'
+    would subsample (n >= 2*corr_cap), the exact path's reported fitness
+    must equal the ORACLE's scoring of the same winning transform over
+    every source row (registration.cpp:270-282) — while 'auto' reports a
+    subset estimate over its own strided rows."""
+    import jax.numpy as jnp
+
+    from tpu3d import oracle
+    from tpu3d.ops.ransac import ransac_registration
+    from tpu3d.types import FPFHFeatures, PointCloud
+
+    n = 4096
+    pts = _bumpy_cloud(rng, n) if "_bumpy_cloud" in globals() else None
+    if pts is None:
+        xy = rng.uniform(-0.3, 0.3, size=(n, 2)).astype(np.float32)
+        z = 0.7 + 0.05 * np.sin(17 * xy[:, 0]) * np.cos(13 * xy[:, 1])
+        pts = np.column_stack([xy, z]).astype(np.float32)
+    tgt_np = pts
+    t_true = np.float32([0.012, -0.007, 0.009])
+    src_np = (tgt_np - t_true).astype(np.float32)
+    # Identical synthetic descriptors per row pair — matching is trivially
+    # correct, so RANSAC's fitness is driven by geometry alone.
+    desc = rng.random((n, 33)).astype(np.float32)
+    src = PointCloud.from_numpy(src_np, capacity=n)
+    tgt = PointCloud.from_numpy(tgt_np, capacity=n)
+    sf = FPFHFeatures(descriptors=jnp.asarray(desc), mask=src.mask)
+    tf = FPFHFeatures(descriptors=jnp.asarray(desc), mask=tgt.mask)
+    voxel = 0.004
+
+    exact = ransac_registration(
+        src, tgt, sf, tf, voxel, max_iterations=8192,
+        corr_mode="exact", two_stage=False, early_exit=False,
+        corr_cap=1024,
+    )
+    T = np.asarray(exact.transformation)
+    # Oracle scoring of the SAME transform over every source row, with the
+    # same (trivially correct) correspondences.
+    _, fit_o, rmse_o = oracle.score_hypothesis(
+        T[:3, :3], T[:3, 3], src_np, tgt_np, 1.5 * voxel
+    )
+    assert abs(float(exact.fitness) - float(fit_o)) < 1e-5, (
+        float(exact.fitness), float(fit_o))
+    # rmse: the rank-16 scoring expansion err2 = F.W + |p|2+|q|2 + |t|2
+    # carries an f32 cancellation floor of ~sqrt(eps)*|coord| ~ 3e-4 for
+    # NEAR-ZERO residuals (fitness is unaffected: the floor is orders
+    # below the inlier threshold). The coarse rmse is diagnostic; the
+    # pipeline's reported final rmse comes from ICP's direct d2 sums.
+    assert abs(float(exact.rmse) - float(rmse_o)) < 5e-4
+
+    # 'auto' at n >= 2*corr_cap is a subset ESTIMATE — close, not equal.
+    auto = ransac_registration(
+        src, tgt, sf, tf, voxel, max_iterations=8192, corr_cap=1024,
+    )
+    assert abs(float(auto.fitness) - float(fit_o)) < 0.05
