@@ -200,7 +200,9 @@ def main():
 
     jitted = jax.jit(full_pair)
 
-    # Warmup (compile) + correctness gate.
+    # Warmup (compile) + correctness gate. The same program also serves the
+    # single-shot timing below (fetching the 4x4 T is the scalar-readback
+    # sync, 16 floats) — one fewer multi-minute remote compile.
     t0 = time.perf_counter()
     T, fit, rmse = jitted(src_cloud.points, src_cloud.mask)
     T_np = np.asarray(T)
@@ -211,16 +213,14 @@ def main():
     log(f"pose error: rot {rot_err:.4f}, trans {trn_err:.5f} m")
     quality_ok = rot_err < 0.02 and trn_err < 0.005
 
-    # One flat program reducing to a scalar inside the jit (scalar readback
-    # is the only reliable sync on this PJRT platform).
-    sync = jax.jit(
-        lambda p, m: jnp.sum(full_pair(p, m)[0]).astype(jnp.float32)
-    )
-    float(sync(src_cloud.points, src_cloud.mask))
     times = []
-    for _ in range(5):
+    for k in range(5):
+        # Distinct input VALUES per rep: the tunnel caches executions of
+        # identical program+args (BENCH_NOTES) — a 0.1 µm jitter defeats
+        # that without touching registration quality.
+        pk = src_cloud.points + jnp.float32(1e-7 * (k + 1))
         t0 = time.perf_counter()
-        float(sync(src_cloud.points, src_cloud.mask))
+        np.asarray(jitted(pk, src_cloud.mask)[0])
         times.append(time.perf_counter() - t0)
     rt = roundtrip_ms() / 1000.0
     single_s = max(min(times) - rt, 1e-9)
