@@ -104,3 +104,93 @@ def test_fused_registration_end_to_end(rng):
         src_pts @ T[:3, :3].T + T[:3, 3] - tgt_pts, axis=1
     )
     assert np.mean(resid < 1.5 * voxel) > 0.99
+
+
+def test_sparse_prepare_matches_dense_bit_exact(rng):
+    """Every descriptor the sparse path returns must be IDENTICAL to the
+    dense Pallas path's value for the same row — sparsity only zeroes
+    window lengths of blocks outside the dependency sets, it never changes
+    what a member block computes."""
+    from tpu3d.ops.fused_features import fused_prepare_sparse
+
+    pts = _surface(rng, 4000)
+    mask = np.ones(4096, bool)
+    mask[4000:] = False
+    pad = np.zeros((96, 3), np.float32)
+    cloud = PointCloud(
+        points=jnp.asarray(np.vstack([pts, pad])), mask=jnp.asarray(mask)
+    )
+    r = jnp.float32(0.02)
+    _, df = fused_prepare_features(
+        cloud, r, engine="pallas", interpret=True
+    )
+    sc, sf, sorig = fused_prepare_sparse(cloud, r, corr_cap=1024,
+                                         interpret=True)
+    sm = np.asarray(sf.mask)
+    assert sm.sum() > 200  # subset is non-trivial
+    rows = np.asarray(sorig)[sm]
+    np.testing.assert_array_equal(
+        np.asarray(sf.descriptors)[sm], np.asarray(df.descriptors)[rows]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sc.points)[sm], np.asarray(cloud.points)[rows]
+    )
+
+
+def test_sparse_prepare_exact_on_degenerate_x(rng):
+    """Single-bucket (degenerate-x) clouds make every window span most of
+    the layout — the member sets degrade to near-dense, never to wrong
+    values."""
+    from tpu3d.ops.fused_features import fused_prepare_sparse
+
+    pts = _surface(rng, 2048)
+    pts[:, 0] = 0.0
+    cloud = PointCloud.from_numpy(pts, capacity=2048)
+    r = jnp.float32(0.02)
+    _, df = fused_prepare_features(cloud, r, engine="pallas", interpret=True)
+    _, sf, sorig = fused_prepare_sparse(cloud, r, corr_cap=512,
+                                        interpret=True)
+    sm = np.asarray(sf.mask)
+    rows = np.asarray(sorig)[sm]
+    np.testing.assert_array_equal(
+        np.asarray(sf.descriptors)[sm], np.asarray(df.descriptors)[rows]
+    )
+
+
+def test_sparse_prepare_drives_ransac(rng):
+    """The sparse subset view plugs straight into ransac_registration
+    (corr_mode='exact' — the subset IS the correspondence set) and recovers
+    the pose, matching the corr_mode='auto' statistical envelope."""
+    from tpu3d.ops.fused_features import fused_prepare_sparse
+    from tpu3d.ops.ransac import ransac_registration
+
+    tgt_pts = _surface(rng, 4000)
+    aa = np.array([0.1, -0.15, 0.2])
+    th = np.linalg.norm(aa)
+    k = aa / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    R = (np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K).astype(
+        np.float32
+    )
+    t = np.array([0.02, -0.01, 0.03], np.float32)
+    src_pts = ((tgt_pts - t) @ R).astype(np.float32)
+
+    voxel = 0.004
+    r = jnp.float32(voxel * 5)
+    sub_c, sub_f, _ = fused_prepare_sparse(
+        PointCloud.from_numpy(src_pts, capacity=4096), r,
+        corr_cap=1024, interpret=True,
+    )
+    tgt, tf = fused_prepare_features(
+        PointCloud.from_numpy(tgt_pts, capacity=4096), r,
+        engine="pallas", interpret=True,
+    )
+    res = ransac_registration(
+        sub_c, tgt, sub_f, tf, voxel, max_iterations=4096, corr_mode="exact"
+    )
+    T = np.asarray(res.transformation)
+    assert float(res.fitness) > 0.8
+    resid = np.linalg.norm(
+        src_pts @ T[:3, :3].T + T[:3, 3] - tgt_pts, axis=1
+    )
+    assert np.mean(resid < 1.5 * voxel) > 0.99

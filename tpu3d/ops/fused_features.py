@@ -33,6 +33,14 @@ dominated (~60 of 70-96 ms at 100k points):
     3 fewer passes per bin.
   * d² stays elementwise (exact): the self-pair must hit exactly 0 so the
     reference's dist < 1e-8 skip (registration.cpp:142-146) keeps working.
+  * **Sparse query subsets** (round 3, ``fused_prepare_sparse``): when the
+    consumer only needs descriptors for a strided correspondence subset
+    (ops/ransac.py corr_mode='auto' semantics), the sweeps run only on the
+    blocks that subset transitively depends on — sweep C at the query
+    blocks Q, sweep B at Q ∪ windows(Q), sweep A at that set ∪ its windows.
+    Every retained descriptor is EXACT (full radius neighborhood, exact
+    SPFH of every neighbor); blocks outside the member sets simply get
+    their window lengths zeroed, which the window walk skips for free.
 
 Semantics vs the reference: neighborhoods are radius-exact (ALL points
 within radius contribute) instead of radius-capped-at-100
@@ -45,6 +53,8 @@ golden tests; this is the at-scale TPU path.
 from __future__ import annotations
 
 import functools
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -149,6 +159,270 @@ def _hist_from_cums(cum: jnp.ndarray, cnt: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(s > 0, hist / jnp.maximum(s, 1e-30), hist)
 
 
+def _pallas_prepare(cloud, r, r2, block, sub, interpret, nq=None):
+    """Pallas sweep engine over the bucket-aligned padded layout.
+
+    Bucket-aligned padded layout (ops/slab2.py AlignedSlab2): every query
+    block lives inside ONE x-bucket, so its candidate windows are exactly
+    the three neighboring buckets trimmed to a shared y-range — no
+    boundary-crossing window blow-up, no overflow window, and padding rows
+    are never scanned. Fully plane-based: queries, windows and normals all
+    live in K-major (3, N)/(N,) layouts ((N, 3) layouts waste 125/128 lanes
+    and cost relayouts).
+
+    ``nq=None`` (dense): returns the usual (cloud-with-normals, FPFH) in
+    original row order. ``nq=k`` (sparse): computes descriptors ONLY for
+    the rows of ``k`` evenly strided query blocks in the aligned layout and
+    returns (subset PointCloud view, subset FPFHFeatures, subset original
+    rows). Each retained descriptor is EXACT — the sparse mode only zeroes
+    the window-length tables of blocks outside each sweep's transitive
+    dependency set, and the window walk skips zero-length windows for
+    free. Degenerate distributions (every window spanning most blocks)
+    gracefully degrade to near-dense member sets, never to wrong values.
+    """
+    from tpu3d.ops.features_pallas import (
+        fpfh_sweep_pallas,
+        moments_sweep_pallas,
+        spfh_sweep_pallas,
+    )
+    from tpu3d.ops.slab2 import (
+        aligned_block_windows,
+        build_slab2_aligned,
+    )
+
+    n = cloud.points.shape[0]
+    # Static bucket-count bound: enough buckets that the width stays
+    # ~radius at density (width only widens when the x-extent demands
+    # it). 512 at 1M points costs +65k padded rows — immaterial.
+    max_buckets = 128 if n <= (1 << 18) else 512
+    al = build_slab2_aligned(
+        cloud.points, cloud.mask, r, block=block, max_buckets=max_buckets
+    )
+    pts_t = al.padded_points_t  # (3, Mp), sentinel 3e4 padding
+    mp = pts_t.shape[1]
+    nbk = mp // block
+    lo, length = aligned_block_windows(al, r, block)  # (nbk, 3)
+
+    if nq is None:
+        q_stride = 1
+        len_a = len_b = len_c = length
+    else:
+        # --- sparse member sets (round 3) --------------------------------
+        # Q  = nq evenly strided blocks (static ids — Mp is static).
+        # B-set = Q ∪ blocks(windows(Q))      (sweep C reads SPFH there;
+        #                                      FPFH(q) adds q's own SPFH)
+        # A-set = B ∪ blocks(windows(B))      (sweep B reads normals of its
+        #                                      own rows and its windows')
+        # Window→block coverage is marked with a difference array
+        # (+1 at the window's first block, −1 after its last, cumsum > 0)
+        # — windows are contiguous row ranges, so this is exact.
+        nq = min(nq, nbk)
+        q_stride = max(1, nbk // nq)
+        qmask_np = np.zeros((nbk,), bool)
+        qmask_np[np.arange(nq) * q_stride] = True
+        qmask = jnp.asarray(qmask_np)
+        live = length > 0
+        blk_lo = jnp.clip(lo // block, 0, nbk - 1)
+        blk_hi = jnp.clip(
+            (lo + jnp.maximum(length, 1) - 1) // block, 0, nbk - 1
+        )
+
+        def dilate(member):
+            contrib = (live & member[:, None]).astype(jnp.int32).ravel()
+            diff = jnp.zeros((nbk + 1,), jnp.int32)
+            diff = diff.at[blk_lo.ravel()].add(contrib)
+            diff = diff.at[(blk_hi + 1).ravel()].add(-contrib)
+            return jnp.cumsum(diff)[:nbk] > 0
+
+        member_b = dilate(qmask) | qmask
+        member_a = dilate(member_b) | member_b
+        len_a = jnp.where(member_a[:, None], length, 0)
+        len_b = jnp.where(member_b[:, None], length, 0)
+        len_c = jnp.where(qmask[:, None], length, 0)
+
+    mrow = al.valid_padded.astype(jnp.float32)[None]  # (1, Mp)
+    q8 = jnp.concatenate(
+        [pts_t, mrow, jnp.zeros((4, mp), jnp.float32)], axis=0
+    )
+    # Sweep A: moments -> covariance -> PCA normal, all plane-wise
+    # ((N, 3, 3)/(N, 9) layouts waste 125/128 lanes — see
+    # smallest_eigvec_3x3_planes).
+    momout = moments_sweep_pallas(
+        q8, pts_t, lo, len_a, r2, block=block, sub=sub,
+        interpret=interpret,
+    )
+    cnt = jnp.maximum(momout[:, 9], 1.0)
+    mx, my, mz = (momout[:, k] / cnt for k in (0, 1, 2))
+    c00 = momout[:, 3] / cnt - mx * mx
+    c11 = momout[:, 4] / cnt - my * my
+    c22 = momout[:, 5] / cnt - mz * mz
+    c01 = momout[:, 6] / cnt - mx * my
+    c02 = momout[:, 7] / cnt - mx * mz
+    c12 = momout[:, 8] / cnt - my * mz
+    nx, ny, nz = smallest_eigvec_3x3_planes(c00, c01, c02, c11, c12, c22)
+    # Flip toward the viewpoint/origin (plane-wise), and zero
+    # invalid/padding rows (their covariance is zeros -> NaN-free
+    # planes; the final scatter re-masks by cloud.mask anyway). In sparse
+    # mode, rows outside the A-set get an arbitrary zero-covariance
+    # eigenvector — finite, and never read: sweep B's windows only reach
+    # A-set rows by construction.
+    flip = nx * pts_t[0] + ny * pts_t[1] + nz * pts_t[2] > 0
+    sgn = jnp.where(
+        al.valid_padded, jnp.where(flip, -1.0, 1.0), 0.0
+    )
+    nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+    # Sweep B: packed [coords | b=p×n | n | a=p·n]; queries carry
+    # their normal (b_i/a_i are rebuilt in-kernel from those — cheap
+    # per-block, while the candidate side is per-PAIR work saved).
+    # Sentinel rows: n = 0 ⇒ b = 0, a = 0 — inert, and their 3e4
+    # coords fail every d² gate anyway.
+    #
+    # Coordinates are shifted by the cloud's masked centroid first:
+    # the shared-origin scalar-triple identity alpha·d = n_i·b_j +
+    # b_i·n_j is exact for ANY common origin, but its f32 cancellation
+    # error scales with |p|² — a far-from-origin world frame
+    # (coords ~1e3+) would otherwise push angle-bin error past the
+    # 0.18 bin width. The shift keeps |p| ~ O(cloud extent); d²/phi
+    # are translation-invariant, so nothing else changes.
+    nrm_t = jnp.stack([nx, ny, nz])  # (3, Mp)
+    wv = al.valid_padded.astype(jnp.float32)
+    cnt_v = jnp.maximum(jnp.sum(wv), 1.0)
+    ctr = jnp.stack(
+        [jnp.sum(jnp.where(al.valid_padded, pts_t[i], 0.0)) / cnt_v
+         for i in range(3)]
+    )  # (3,)
+    cpts_t = pts_t - ctr[:, None]  # sentinels stay ~3e4 — still inert
+    b3 = jnp.stack(
+        [
+            cpts_t[1] * nrm_t[2] - cpts_t[2] * nrm_t[1],
+            cpts_t[2] * nrm_t[0] - cpts_t[0] * nrm_t[2],
+            cpts_t[0] * nrm_t[1] - cpts_t[1] * nrm_t[0],
+        ]
+    )
+    arow = (
+        cpts_t[0] * nrm_t[0] + cpts_t[1] * nrm_t[1]
+        + cpts_t[2] * nrm_t[2]
+    )
+    packed_b = jnp.concatenate(
+        [cpts_t, b3, nrm_t, arow[None]], axis=0
+    )  # (10, Mp)
+    q8n = jnp.concatenate(
+        [cpts_t, mrow, nrm_t, jnp.zeros((1, mp), jnp.float32)],
+        axis=0,
+    )
+    spfhout = spfh_sweep_pallas(
+        q8n, packed_b, lo, len_b, r2, block=block, sub=sub,
+        interpret=interpret,
+    )
+    spfh_padded = _hist_from_cums(spfhout[:, :30], spfhout[:, 30])
+    # Sweep C: packed (coords | SPFH planes).
+    packed_c = jnp.concatenate(
+        [pts_t, spfh_padded.T], axis=0
+    )  # (36, Mp)
+    wsum = fpfh_sweep_pallas(
+        q8, packed_c, lo, len_c, r2, block=block, sub=sub,
+        interpret=interpret,
+    )[:, :33]
+    f = spfh_padded + wsum
+    sf = jnp.sum(f, axis=1, keepdims=True)
+    fpfh_padded = jnp.where(sf > 0, f / jnp.maximum(sf, 1e-30), f)
+
+    if nq is not None:
+        # Subset rows of the Q blocks — an arithmetic block progression,
+        # so extraction is a strided reshape-slice (~free on TPU), never
+        # a gather. Padding rows inside Q blocks stay masked out.
+        take = nq * q_stride
+
+        def pick_rows(x2d):  # (Mp, W) -> (nq*block, W)
+            w = x2d.shape[1]
+            return x2d.reshape(nbk, block, w)[:take:q_stride].reshape(
+                nq * block, w
+            )
+
+        sub_pts = (
+            pts_t.reshape(3, nbk, block)[:, :take:q_stride]
+            .reshape(3, nq * block).T
+        )
+        sub_mask = al.valid_padded.reshape(nbk, block)[
+            :take:q_stride
+        ].reshape(nq * block)
+        sub_desc = pick_rows(fpfh_padded)
+        sub_orig = al.padded_orig.reshape(nbk, block)[
+            :take:q_stride
+        ].reshape(nq * block)
+        sub_pts = jnp.where(sub_mask[:, None], sub_pts, 0.0)
+        sub_desc = jnp.where(sub_mask[:, None], sub_desc, 0.0)
+        return (
+            PointCloud(points=sub_pts, mask=sub_mask),
+            FPFHFeatures(descriptors=sub_desc, mask=sub_mask),
+            sub_orig,
+        )
+
+    # Back to original row order: padded_orig is a permutation plus
+    # unique out-of-bounds values on padding rows — one scatter with
+    # OOB drop, no extra sort.
+    normals_padded = jnp.stack([nx, ny, nz], axis=1)  # (Mp, 3)
+    normals = (
+        jnp.zeros((n, 3), jnp.float32)
+        .at[al.padded_orig].set(
+            normals_padded, mode="drop", unique_indices=True
+        )
+    )
+    fpfh = (
+        jnp.zeros((n, 33), jnp.float32)
+        .at[al.padded_orig].set(
+            fpfh_padded, mode="drop", unique_indices=True
+        )
+    )
+    normals = jnp.where(cloud.mask[:, None], normals, 0.0)
+    fpfh = jnp.where(cloud.mask[:, None], fpfh, 0.0)
+    return (
+        cloud._replace(normals=normals),
+        FPFHFeatures(descriptors=fpfh, mask=cloud.mask),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("corr_cap", "block", "sub", "interpret"),
+)
+def fused_prepare_sparse(
+    cloud: PointCloud,
+    radius,
+    corr_cap: int = 8192,
+    block: int = 128,
+    sub: int = 256,
+    interpret: bool = False,
+) -> tuple[PointCloud, FPFHFeatures, jnp.ndarray]:
+    """Normals+FPFH restricted to a ``corr_cap``-row strided-block subset.
+
+    The RANSAC correspondence stage at scale only consumes descriptors for
+    a strided source subset (ops/ransac.py corr_mode='auto'); computing
+    the other ~92% of descriptors is pure waste. This entry runs the
+    Pallas sweeps only on the blocks that subset transitively needs (see
+    ``_pallas_prepare``) and returns:
+
+      (subset PointCloud view, subset FPFHFeatures, subset original rows)
+
+    Every returned descriptor is EXACT (identical bits to the dense path's
+    value for the same row — tests/test_fused_features.py asserts this,
+    including on degenerate-x clouds). The subset view is spatially
+    stratified: blocks of the bucket-aligned layout are small (bucket, y)
+    patches, strided uniformly across the sorted row space. Pass the view
+    directly to ``ransac_registration(..., corr_mode='exact')`` — its
+    fitness/rmse then estimate the full-cloud values from the subset,
+    exactly like corr_mode='auto' does today (PARITY.md).
+
+    Pallas-engine only (TPU, or interpret=True for tests) — callers gate
+    on ``on_tpu()`` like fused_prepare_features's engine='auto' does.
+    """
+    r = jnp.asarray(radius, jnp.float32)
+    nq = max(1, corr_cap // block)
+    return _pallas_prepare(
+        cloud, r, r * r, block=block, sub=sub, interpret=interpret, nq=nq
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -203,138 +477,8 @@ def fused_prepare_features(
     r2 = r * r
 
     if engine == "pallas":
-        # Bucket-aligned padded layout (ops/slab2.py AlignedSlab2): every
-        # query block lives inside ONE x-bucket, so its candidate windows
-        # are exactly the three neighboring buckets trimmed to a shared
-        # y-range — no boundary-crossing window blow-up, no overflow
-        # window, and padding rows are never scanned. Fully plane-based:
-        # queries, windows and normals all live in K-major (3, N)/(N,)
-        # layouts ((N, 3) layouts waste 125/128 lanes and cost relayouts).
-        from tpu3d.ops.features_pallas import (
-            fpfh_sweep_pallas,
-            moments_sweep_pallas,
-            spfh_sweep_pallas,
-        )
-        from tpu3d.ops.slab2 import (
-            aligned_block_windows,
-            build_slab2_aligned,
-        )
-
-        n = cloud.points.shape[0]
-        # Static bucket-count bound: enough buckets that the width stays
-        # ~radius at density (width only widens when the x-extent demands
-        # it). 512 at 1M points costs +65k padded rows — immaterial.
-        max_buckets = 128 if n <= (1 << 18) else 512
-        al = build_slab2_aligned(
-            cloud.points, cloud.mask, r, block=block, max_buckets=max_buckets
-        )
-        pts_t = al.padded_points_t  # (3, Mp), sentinel 3e4 padding
-        mp = pts_t.shape[1]
-        lo, length = aligned_block_windows(al, r, block)  # (nbk, 3)
-        mrow = al.valid_padded.astype(jnp.float32)[None]  # (1, Mp)
-        q8 = jnp.concatenate(
-            [pts_t, mrow, jnp.zeros((4, mp), jnp.float32)], axis=0
-        )
-        # Sweep A: moments -> covariance -> PCA normal, all plane-wise
-        # ((N, 3, 3)/(N, 9) layouts waste 125/128 lanes — see
-        # smallest_eigvec_3x3_planes).
-        momout = moments_sweep_pallas(
-            q8, pts_t, lo, length, r2, block=block, sub=sub,
-            interpret=interpret,
-        )
-        cnt = jnp.maximum(momout[:, 9], 1.0)
-        mx, my, mz = (momout[:, k] / cnt for k in (0, 1, 2))
-        c00 = momout[:, 3] / cnt - mx * mx
-        c11 = momout[:, 4] / cnt - my * my
-        c22 = momout[:, 5] / cnt - mz * mz
-        c01 = momout[:, 6] / cnt - mx * my
-        c02 = momout[:, 7] / cnt - mx * mz
-        c12 = momout[:, 8] / cnt - my * mz
-        nx, ny, nz = smallest_eigvec_3x3_planes(c00, c01, c02, c11, c12, c22)
-        # Flip toward the viewpoint/origin (plane-wise), and zero
-        # invalid/padding rows (their covariance is zeros -> NaN-free
-        # planes; the final scatter re-masks by cloud.mask anyway).
-        flip = nx * pts_t[0] + ny * pts_t[1] + nz * pts_t[2] > 0
-        sgn = jnp.where(
-            al.valid_padded, jnp.where(flip, -1.0, 1.0), 0.0
-        )
-        nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
-        # Sweep B: packed [coords | b=p×n | n | a=p·n]; queries carry
-        # their normal (b_i/a_i are rebuilt in-kernel from those — cheap
-        # per-block, while the candidate side is per-PAIR work saved).
-        # Sentinel rows: n = 0 ⇒ b = 0, a = 0 — inert, and their 3e4
-        # coords fail every d² gate anyway.
-        #
-        # Coordinates are shifted by the cloud's masked centroid first:
-        # the shared-origin scalar-triple identity alpha·d = n_i·b_j +
-        # b_i·n_j is exact for ANY common origin, but its f32 cancellation
-        # error scales with |p|² — a far-from-origin world frame
-        # (coords ~1e3+) would otherwise push angle-bin error past the
-        # 0.18 bin width. The shift keeps |p| ~ O(cloud extent); d²/phi
-        # are translation-invariant, so nothing else changes.
-        nrm_t = jnp.stack([nx, ny, nz])  # (3, Mp)
-        wv = al.valid_padded.astype(jnp.float32)
-        cnt_v = jnp.maximum(jnp.sum(wv), 1.0)
-        ctr = jnp.stack(
-            [jnp.sum(jnp.where(al.valid_padded, pts_t[i], 0.0)) / cnt_v
-             for i in range(3)]
-        )  # (3,)
-        cpts_t = pts_t - ctr[:, None]  # sentinels stay ~3e4 — still inert
-        b3 = jnp.stack(
-            [
-                cpts_t[1] * nrm_t[2] - cpts_t[2] * nrm_t[1],
-                cpts_t[2] * nrm_t[0] - cpts_t[0] * nrm_t[2],
-                cpts_t[0] * nrm_t[1] - cpts_t[1] * nrm_t[0],
-            ]
-        )
-        arow = (
-            cpts_t[0] * nrm_t[0] + cpts_t[1] * nrm_t[1]
-            + cpts_t[2] * nrm_t[2]
-        )
-        packed_b = jnp.concatenate(
-            [cpts_t, b3, nrm_t, arow[None]], axis=0
-        )  # (10, Mp)
-        q8n = jnp.concatenate(
-            [cpts_t, mrow, nrm_t, jnp.zeros((1, mp), jnp.float32)],
-            axis=0,
-        )
-        spfhout = spfh_sweep_pallas(
-            q8n, packed_b, lo, length, r2, block=block, sub=sub,
-            interpret=interpret,
-        )
-        spfh_padded = _hist_from_cums(spfhout[:, :30], spfhout[:, 30])
-        # Sweep C: packed (coords | SPFH planes).
-        packed_c = jnp.concatenate(
-            [pts_t, spfh_padded.T], axis=0
-        )  # (36, Mp)
-        wsum = fpfh_sweep_pallas(
-            q8, packed_c, lo, length, r2, block=block, sub=sub,
-            interpret=interpret,
-        )[:, :33]
-        f = spfh_padded + wsum
-        sf = jnp.sum(f, axis=1, keepdims=True)
-        fpfh_padded = jnp.where(sf > 0, f / jnp.maximum(sf, 1e-30), f)
-        # Back to original row order: padded_orig is a permutation plus
-        # unique out-of-bounds values on padding rows — one scatter with
-        # OOB drop, no extra sort.
-        normals_padded = jnp.stack([nx, ny, nz], axis=1)  # (Mp, 3)
-        normals = (
-            jnp.zeros((n, 3), jnp.float32)
-            .at[al.padded_orig].set(
-                normals_padded, mode="drop", unique_indices=True
-            )
-        )
-        fpfh = (
-            jnp.zeros((n, 33), jnp.float32)
-            .at[al.padded_orig].set(
-                fpfh_padded, mode="drop", unique_indices=True
-            )
-        )
-        normals = jnp.where(cloud.mask[:, None], normals, 0.0)
-        fpfh = jnp.where(cloud.mask[:, None], fpfh, 0.0)
-        out = (
-            cloud._replace(normals=normals),
-            FPFHFeatures(descriptors=fpfh, mask=cloud.mask),
+        out = _pallas_prepare(
+            cloud, r, r2, block=block, sub=sub, interpret=interpret
         )
         if return_overflow:
             return out + (jnp.bool_(False),)
