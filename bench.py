@@ -178,19 +178,47 @@ def main():
     tgt_index = jax.jit(build_icp_target)(tgt)
     src_cloud = PointCloud.from_numpy(src_np, capacity=n)
 
+    # 'sparse' (default at scale): source descriptors are computed ONLY
+    # for the blocks the 8k correspondence subset transitively needs
+    # (ops/fused_features.fused_prepare_sparse — every retained descriptor
+    # bit-identical to the dense path), and RANSAC consumes the subset
+    # view with corr_mode='exact' — the same statistical envelope as
+    # corr_mode='auto' (8k-row estimates, PARITY.md), reached without
+    # paying for the ~92% of source descriptors nobody reads. ICP never
+    # needed source normals (p2plane uses TARGET normals), so it runs on
+    # the raw source.
+    prep_mode = os.environ.get(
+        "TPU3D_BENCH_PREPARE", "sparse" if n >= 32768 else "dense"
+    )
+    log(f"prepare mode: {prep_mode}")
+
     def full_pair(src_pts, src_mask):
         """Per-instance registration work: normals + FPFH on the source,
         RANSAC coarse, ICP fine (target features AND the target's ICP slab
         index precomputed/amortized — both are per-model structures,
         matching pipeline.cpp:291-294 vs :92-95)."""
-        from tpu3d.ops.fused_features import fused_prepare_features
+        from tpu3d.ops.fused_features import (
+            fused_prepare_features,
+            fused_prepare_sparse,
+        )
 
         source = PointCloud(points=src_pts, mask=src_mask)
-        source, sfeat = fused_prepare_features(source, jnp.float32(voxel * 5))
-        coarse = ransac_registration(
-            source, tgt, sfeat, tgt_feat, voxel,
-            max_iterations=ransac_iters,
-        )
+        if prep_mode == "sparse":
+            sub_c, sub_f, _ = fused_prepare_sparse(
+                source, jnp.float32(voxel * 5)
+            )
+            coarse = ransac_registration(
+                sub_c, tgt, sub_f, tgt_feat, voxel,
+                max_iterations=ransac_iters, corr_mode="exact",
+            )
+        else:
+            source, sfeat = fused_prepare_features(
+                source, jnp.float32(voxel * 5)
+            )
+            coarse = ransac_registration(
+                source, tgt, sfeat, tgt_feat, voxel,
+                max_iterations=ransac_iters,
+            )
         refined = icp_refine(
             source, tgt, coarse.transformation, voxel * 0.4,
             max_iterations=icp_iters, point_to_plane=True,
