@@ -33,7 +33,10 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import jax.numpy as jnp  # noqa: E402
 
 from bench import make_pair  # noqa: E402
-from tpu3d.ops.fused_features import fused_prepare_features  # noqa: E402
+from tpu3d.ops.fused_features import (  # noqa: E402
+    fused_prepare_features,
+    fused_prepare_sparse,
+)
 from tpu3d.ops.icp import icp_refine  # noqa: E402
 from tpu3d.ops.ransac import ransac_registration  # noqa: E402
 from tpu3d.types import PointCloud  # noqa: E402
@@ -90,6 +93,23 @@ def main():
         ref_x = icp_refine(src_p, tgt_p, coarse_x.transformation,
                            voxel * 0.4, max_iterations=200,
                            src_mode="exact")
+        # (4): sparse-prepare subset pipeline (the bench default at scale,
+        # bench.py full_pair) — block-strided exact-descriptor subset into
+        # RANSAC corr_mode='exact', ICP from the raw source. Judged against
+        # the TRUE pose on the same scales as the default pipeline: the
+        # only new variable vs (3)'s corr_mode='auto' is the subset's
+        # spatial stratification (block patches vs row stride).
+        sub_c, sub_f, _ = fused_prepare_sparse(src, radius)
+        coarse_s = ransac_registration(
+            sub_c, tgt_p, sub_f, tgt_f, voxel, max_iterations=100000,
+            seed=seed, confidence=confidence, corr_mode="exact",
+        )
+        ref_s = icp_refine(src, tgt_p, coarse_s.transformation,
+                           voxel * 0.4, max_iterations=200)
+        Ts = np.asarray(ref_s.transformation)
+        rot_true_s = float(np.abs(Ts[:3, :3] - R_true).max())
+        trn_true_s = float(np.abs(Ts[:3, 3] - t_true).max())
+
         Ta = np.asarray(ref_a.transformation)
         Tx = np.asarray(ref_x.transformation)
         rot_d = float(np.abs(Ta[:3, :3] - Tx[:3, :3]).max())
@@ -115,6 +135,9 @@ def main():
             "pose_trn_err_true_exact": round(trn_true_x, 7),
             "fit_icp_auto": round(float(ref_a.fitness), 5),
             "fit_icp_exact": round(float(ref_x.fitness), 5),
+            "pose_rot_err_true_sparse": round(rot_true_s, 6),
+            "pose_trn_err_true_sparse": round(trn_true_s, 7),
+            "fit_icp_sparse": round(float(ref_s.fitness), 5),
         }
         rows.append(row)
         log(row)
@@ -178,6 +201,28 @@ def main():
             r["pose_rot_err_true"] - r["pose_rot_err_true_exact"]
             for r in rows
         ),
+        "max_pose_rot_err_true_sparse_clean": max(
+            (r["pose_rot_err_true_sparse"] for r in clean), default=0.0
+        ),
+        "max_pose_trn_err_true_sparse_clean": max(
+            (r["pose_trn_err_true_sparse"] for r in clean), default=0.0
+        ),
+        "max_pose_rot_err_true_sparse_noisy": max(
+            (r["pose_rot_err_true_sparse"] for r in noisy_rows),
+            default=0.0,
+        ),
+        "max_pose_trn_err_true_sparse_noisy": max(
+            (r["pose_trn_err_true_sparse"] for r in noisy_rows),
+            default=0.0,
+        ),
+        "max_trn_excess_sparse_vs_exact": max(
+            r["pose_trn_err_true_sparse"] - r["pose_trn_err_true_exact"]
+            for r in rows
+        ),
+        "max_rot_excess_sparse_vs_exact": max(
+            r["pose_rot_err_true_sparse"] - r["pose_rot_err_true_exact"]
+            for r in rows
+        ),
     }
     # Gates. (a) Estimate selection may pick a near-tie runner-up (the
     # documented sigma-class delta) but must not lose real fitness, and it
@@ -203,6 +248,15 @@ def main():
         and summary["max_trn_excess_vs_exact"] <= 2.0 * sigma
         and summary["max_rot_excess_vs_exact"] <= 5e-3
         and summary["max_icp_fit_delta_clean"] <= 0.02
+        # The sparse-prepare arm rides the SAME gates as the default
+        # statistical pipeline — its subset is just stratified by layout
+        # block instead of row stride.
+        and summary["max_pose_rot_err_true_sparse_clean"] <= 1e-3
+        and summary["max_pose_trn_err_true_sparse_clean"] <= 1e-4
+        and summary["max_pose_rot_err_true_sparse_noisy"] <= 0.02
+        and summary["max_pose_trn_err_true_sparse_noisy"] <= 5.0 * sigma + 1e-4
+        and summary["max_trn_excess_sparse_vs_exact"] <= 2.0 * sigma
+        and summary["max_rot_excess_sparse_vs_exact"] <= 5e-3
     )
     print(json.dumps({**summary, "pass": ok, "per_seed": rows}))
     return 0 if ok else 1

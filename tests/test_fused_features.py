@@ -194,3 +194,29 @@ def test_sparse_prepare_drives_ransac(rng):
         src_pts @ T[:3, :3].T + T[:3, 3] - tgt_pts, axis=1
     )
     assert np.mean(resid < 1.5 * voxel) > 0.99
+
+
+def test_register_pair_prepare_mode_sparse(rng):
+    """Config-level wiring: prepare_mode='sparse' routes register_pair
+    through the sparse source prepare (interpret-mode off-TPU) and still
+    recovers the pose."""
+    from tpu3d.config import RegistrationConfig
+    from tpu3d.registration import register_pair
+
+    tgt_pts = _surface(rng, 4000)
+    R = np.array([[0.995, 0.0998, 0], [-0.0998, 0.995, 0], [0, 0, 1]],
+                 np.float32)
+    t = np.array([0.01, -0.02, 0.015], np.float32)
+    src_pts = ((tgt_pts - t) @ R).astype(np.float32)
+
+    cfg = RegistrationConfig(
+        voxel_size=0.004, ransac_max_iterations=4096,
+        icp_max_iterations=30, prepare_mode="sparse",
+    )
+    refined, _ = register_pair(
+        PointCloud.from_numpy(src_pts), PointCloud.from_numpy(tgt_pts), cfg
+    )
+    T = np.asarray(refined.transformation)
+    assert float(refined.fitness) > 0.8
+    np.testing.assert_allclose(T[:3, :3], R, atol=0.01)
+    np.testing.assert_allclose(T[:3, 3], t, atol=0.005)

@@ -72,6 +72,13 @@ class RegistrationConfig:
     corr_mode: str = "auto"  # RANSAC correspondences: auto|exact|subsample
     src_mode: str = "auto"  # ICP source rows: auto|exact|subsample
     two_stage: str = "auto"  # RANSAC two-stage scoring: auto|on|off
+    # Source descriptor prepare: 'sparse' computes normals+FPFH only for
+    # the blocks the correspondence subset needs (every retained
+    # descriptor exact — ops/fused_features.fused_prepare_sparse); 'auto'
+    # enables it on the TPU at the same scale gate where corr_mode='auto'
+    # would subsample anyway, so reported metrics stay in the same
+    # statistical class. 'dense' always prepares every row.
+    prepare_mode: str = "auto"  # auto|dense|sparse
 
 
 @dataclasses.dataclass
@@ -181,6 +188,9 @@ def load_config(path: Optional[str] = None) -> PipelineConfig:
             if isinstance(ts, bool):  # YAML 1.1 reads on/off as booleans
                 ts = "on" if ts else "off"
             config.registration.two_stage = str(ts)
+            config.registration.prepare_mode = str(
+                get(reg, "prepare_mode", "auto")
+            )
 
         rob = y.get("robot") or {}
         if "robot" in y:

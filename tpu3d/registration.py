@@ -194,6 +194,29 @@ def register_prepared(
     return refined, coarse
 
 
+def sparse_prepare_active(
+    config: RegistrationConfig, neighbor_mode: str, src_capacity: int
+) -> bool:
+    """Should the SOURCE use the sparse query-subset prepare?
+
+    'sparse' forces it (tests run it in interpret mode off-TPU); 'auto'
+    enables it only where it cannot change the metric class: Pallas engine
+    available (TPU), fused descriptor path, corr_mode='auto' (which would
+    strided-subsample to the same 8k rows anyway — ops/ransac.py use_sub
+    gate), and the cloud at least 2x the subset."""
+    from tpu3d.utils.platform import on_tpu
+
+    if config.prepare_mode == "sparse":
+        return True
+    return (
+        config.prepare_mode == "auto"
+        and neighbor_mode == "fused"
+        and config.corr_mode == "auto"
+        and src_capacity >= 2 * 8192
+        and on_tpu()
+    )
+
+
 def register_pair(
     source: PointCloud,
     target: PointCloud,
@@ -208,6 +231,46 @@ def register_pair(
     # One descriptor variant for BOTH clouds — a pair straddling the fused
     # threshold must not mix fused and gather descriptors.
     mode = resolve_neighbor_mode(src_down.capacity, tgt_down.capacity)
+    if sparse_prepare_active(config, mode, src_down.capacity):
+        # Source descriptors only where the correspondence subset needs
+        # them (each retained descriptor bit-identical to the dense fused
+        # path); RANSAC consumes the subset view with corr_mode='exact' —
+        # the same statistical envelope as corr_mode='auto'. ICP never
+        # reads source normals (p2plane uses the TARGET's), so it refines
+        # from the raw downsampled source.
+        from tpu3d.ops.fused_features import fused_prepare_sparse
+        from tpu3d.utils.platform import on_tpu
+
+        tgt_down, tgt_feat = prepare_features(tgt_down, config, "fused")
+        sub_c, sub_f, _ = fused_prepare_sparse(
+            src_down,
+            jnp.float32(config.voxel_size * 5.0),
+            interpret=not on_tpu(),
+        )
+        coarse = ransac_registration(
+            sub_c,
+            tgt_down,
+            sub_f,
+            tgt_feat,
+            config.voxel_size,
+            max_iterations=config.ransac_max_iterations,
+            confidence=config.ransac_confidence,
+            seed=config.ransac_seed,
+            corr_mode="exact",
+            two_stage={"on": True, "off": False}.get(
+                config.two_stage, "auto"
+            ),
+        )
+        refined = icp_refine(
+            src_down,
+            tgt_down,
+            coarse.transformation,
+            config.voxel_size * config.icp_distance_factor,
+            max_iterations=config.icp_max_iterations,
+            point_to_plane=config.use_point_to_plane,
+            src_mode=config.src_mode,
+        )
+        return refined, coarse
     src_down, src_feat = prepare_features(src_down, config, mode)
     tgt_down, tgt_feat = prepare_features(tgt_down, config, mode)
     return register_prepared(src_down, tgt_down, src_feat, tgt_feat, config)
