@@ -367,11 +367,17 @@ def run_extras(log):
         f"{time.time()-t0:.1f} s")
     tgt1_index = jax.jit(build_icp_target)(tgt1p)
 
+    from tpu3d.ops.fused_features import fused_prepare_sparse
+
     def pair_1m(sp, sm):
+        # Sparse source prepare (the bench-headline configuration): at 1M
+        # rows ~99% of source descriptors are never read by the 8k
+        # correspondence subset — the sweeps run only on its member
+        # blocks. ICP reads no source normals (p2plane uses the target's).
         s = PointCloud(points=sp, mask=sm)
-        s, sf = fused_prepare_features(s, jnp.float32(voxel1m * 5))
-        c = ransac_registration(s, tgt1p, sf, tgt1f, voxel1m,
-                                max_iterations=100000)
+        sub_c, sub_f, _ = fused_prepare_sparse(s, jnp.float32(voxel1m * 5))
+        c = ransac_registration(sub_c, tgt1p, sub_f, tgt1f, voxel1m,
+                                max_iterations=100000, corr_mode="exact")
         rfd = icp_refine(s, tgt1p, c.transformation, voxel1m * 0.4,
                          max_iterations=50, point_to_plane=True,
                          target_index=tgt1_index)
@@ -386,9 +392,12 @@ def run_extras(log):
     sync1m = jax.jit(lambda p, m: jnp.sum(pair_1m(p, m)[0]))
     float(sync1m(src1.points, src1.mask))
     best = 1e9
-    for _ in range(3):
+    for k in range(3):
+        # Distinct input values per rep — the tunnel caches identical
+        # program+args executions (BENCH_NOTES).
+        pk = src1.points + jnp.float32(1e-7 * (k + 1))
         t0 = time.time()
-        float(sync1m(src1.points, src1.mask))
+        float(sync1m(pk, src1.mask))
         best = min(best, time.time() - t0)
     log(
         f"extra: FULL 1M-pair registration (prepare+RANSAC+ICP): "

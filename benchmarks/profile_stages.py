@@ -115,6 +115,36 @@ def main():
         slab, src_p.points,
     )
 
+    # --- sparse-prepare configuration (the bench headline path) -------------
+    from tpu3d.ops.fused_features import fused_prepare_sparse
+
+    t(
+        "fused_prepare_sparse (corr_cap 8192)",
+        lambda c: fused_prepare_sparse(c, radius)[1].descriptors,
+        src,
+    )
+    sub_c, sub_f, _ = fused_prepare_sparse(src, radius)
+    jax.block_until_ready(sub_f.descriptors)
+    t(
+        "feature NN (8k subset x 100k)",
+        lambda a, b: feature_correspondences(a, b),
+        sub_f, tgt_f,
+    )
+    t(
+        "RANSAC 100k hyp from subset (incl. NN)",
+        lambda s, tg, sf, tf: ransac_registration(
+            s, tg, sf, tf, voxel, max_iterations=100000, corr_mode="exact"
+        ).transformation,
+        sub_c, tgt_p, sub_f, tgt_f,
+    )
+    t(
+        "ICP raw source (<=200 it, from coarse)",
+        lambda s, tg, T: icp_refine(
+            s, tg, T, voxel * 0.4, max_iterations=200, point_to_plane=True
+        ).transformation,
+        src, tgt_p, coarse.transformation,
+    )
+
     log("done")
 
 

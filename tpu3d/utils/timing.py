@@ -49,13 +49,18 @@ def device_timeit(
 
     Returns {'best_ms', 'mean_ms', 'roundtrip_ms', 'best_net_ms'}.
     """
-    synced = jax.jit(lambda *a: _to_scalar(fn(*a)))
-    for _ in range(warmup):
-        float(synced(*args))
+    # eps rides through the result so every call has distinct args AND a
+    # distinct output — the tunnel RPC layer caches executions of an
+    # identical program+args pair (~1 ms returns, BENCH_NOTES), which
+    # would turn repeat timings into cache-read timings.
+    synced = jax.jit(lambda eps, *a: _to_scalar(fn(*a)) + eps)
+    for w in range(warmup):
+        float(synced(jnp.float32(1.0 + w), *args))
     times = []
-    for _ in range(iters):
+    for i in range(iters):
+        eps = jnp.float32(1e-6 * (i + 1))
         t0 = time.perf_counter()
-        float(synced(*args))
+        float(synced(eps, *args))
         times.append((time.perf_counter() - t0) * 1000.0)
     rt = roundtrip_ms()
     best = min(times)
