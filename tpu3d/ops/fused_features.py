@@ -204,11 +204,17 @@ def _pallas_prepare(cloud, r, r2, block, sub, interpret, nq=None):
     lo, length = aligned_block_windows(al, r, block)  # (nbk, 3)
 
     if nq is None:
-        q_stride = 1
+        take_ids = None
         len_a = len_b = len_c = length
     else:
         # --- sparse member sets (round 3) --------------------------------
-        # Q  = nq evenly strided blocks (static ids — Mp is static).
+        # Q  = nq blocks in CONTIGUOUS RUNS of q_run, runs evenly strided
+        #      (static ids — Mp is static). Contiguous runs share their
+        #      dilation margin: scattered single blocks dilate ~7x per
+        #      hop (each block's 3 windows land in 3 buckets), measured
+        #      Q=64 → A=787 of 911 at 100k — nearly dense sweep A; runs
+        #      of 8 give A≈316 and ~4.8x fewer sweep-B window rows, while
+        #      the subset stays spatially stratified (nq/q_run patches).
         # B-set = Q ∪ blocks(windows(Q))      (sweep C reads SPFH there;
         #                                      FPFH(q) adds q's own SPFH)
         # A-set = B ∪ blocks(windows(B))      (sweep B reads normals of its
@@ -217,9 +223,15 @@ def _pallas_prepare(cloud, r, r2, block, sub, interpret, nq=None):
         # (+1 at the window's first block, −1 after its last, cumsum > 0)
         # — windows are contiguous row ranges, so this is exact.
         nq = min(nq, nbk)
-        q_stride = max(1, nbk // nq)
+        q_run = min(8, nq)
+        nruns = max(1, nq // q_run)
+        run_stride = max(q_run, nbk // nruns)
+        nq = nruns * q_run  # whole runs only
+        take_ids = (
+            np.arange(nruns)[:, None] * run_stride + np.arange(q_run)[None]
+        ).ravel()  # all < nbk: nruns*run_stride <= nbk by construction
         qmask_np = np.zeros((nbk,), bool)
-        qmask_np[np.arange(nq) * q_stride] = True
+        qmask_np[take_ids] = True
         qmask = jnp.asarray(qmask_np)
         live = length > 0
         blk_lo = jnp.clip(lo // block, 0, nbk - 1)
@@ -328,28 +340,35 @@ def _pallas_prepare(cloud, r, r2, block, sub, interpret, nq=None):
     fpfh_padded = jnp.where(sf > 0, f / jnp.maximum(sf, 1e-30), f)
 
     if nq is not None:
-        # Subset rows of the Q blocks — an arithmetic block progression,
-        # so extraction is a strided reshape-slice (~free on TPU), never
-        # a gather. Padding rows inside Q blocks stay masked out.
-        take = nq * q_stride
+        # Subset rows of the Q blocks — runs are an arithmetic block
+        # progression, so extraction is slice → reshape → slice (~free on
+        # TPU), never a gather (a random 8k-row gather costs real ms).
+        # Padding rows inside Q blocks stay masked out.
+        take = nruns * run_stride
 
         def pick_rows(x2d):  # (Mp, W) -> (nq*block, W)
             w = x2d.shape[1]
-            return x2d.reshape(nbk, block, w)[:take:q_stride].reshape(
-                nq * block, w
+            return (
+                x2d.reshape(nbk, block, w)[:take]
+                .reshape(nruns, run_stride, block, w)[:, :q_run]
+                .reshape(nq * block, w)
+            )
+
+        def pick_rows_1d(x1d):  # (Mp,) -> (nq*block,)
+            return (
+                x1d.reshape(nbk, block)[:take]
+                .reshape(nruns, run_stride, block)[:, :q_run]
+                .reshape(nq * block)
             )
 
         sub_pts = (
-            pts_t.reshape(3, nbk, block)[:, :take:q_stride]
+            pts_t.reshape(3, nbk, block)[:, :take]
+            .reshape(3, nruns, run_stride, block)[:, :, :q_run]
             .reshape(3, nq * block).T
         )
-        sub_mask = al.valid_padded.reshape(nbk, block)[
-            :take:q_stride
-        ].reshape(nq * block)
+        sub_mask = pick_rows_1d(al.valid_padded)
         sub_desc = pick_rows(fpfh_padded)
-        sub_orig = al.padded_orig.reshape(nbk, block)[
-            :take:q_stride
-        ].reshape(nq * block)
+        sub_orig = pick_rows_1d(al.padded_orig)
         sub_pts = jnp.where(sub_mask[:, None], sub_pts, 0.0)
         sub_desc = jnp.where(sub_mask[:, None], sub_desc, 0.0)
         return (
