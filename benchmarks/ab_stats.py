@@ -103,6 +103,14 @@ def main():
         coarse_s = ransac_registration(
             sub_c, tgt_p, sub_f, tgt_f, voxel, max_iterations=100000,
             seed=seed, confidence=confidence, corr_mode="exact",
+        )  # sampling='auto' -> gather-free rotation draws on this path
+        # (5): sampling design A/B — the SAME subset/correspondences with
+        # the reference-shaped iid 'gather' draws. Isolates the rotation
+        # sampler: coarse fitness must agree to sampling noise.
+        coarse_g = ransac_registration(
+            sub_c, tgt_p, sub_f, tgt_f, voxel, max_iterations=100000,
+            seed=seed, confidence=confidence, corr_mode="exact",
+            sampling="gather",
         )
         ref_s = icp_refine(src, tgt_p, coarse_s.transformation,
                            voxel * 0.4, max_iterations=200)
@@ -138,6 +146,8 @@ def main():
             "pose_rot_err_true_sparse": round(rot_true_s, 6),
             "pose_trn_err_true_sparse": round(trn_true_s, 7),
             "fit_icp_sparse": round(float(ref_s.fitness), 5),
+            "fit_coarse_rotation": round(float(coarse_s.fitness), 5),
+            "fit_coarse_gather": round(float(coarse_g.fitness), 5),
         }
         rows.append(row)
         log(row)
@@ -231,6 +241,17 @@ def main():
             r["pose_rot_err_true_sparse"] - r["pose_rot_err_true_exact"]
             for r in rows
         ),
+        # Rotation-vs-gather coarse fitness: same subset, different draw
+        # design. Signed mean catches a systematic sampler weakness; the
+        # abs max is sampling-luck spread.
+        "mean_coarse_fit_rotation_minus_gather": float(np.mean([
+            r["fit_coarse_rotation"] - r["fit_coarse_gather"]
+            for r in rows
+        ])),
+        "max_abs_coarse_fit_sampling_delta": max(
+            abs(r["fit_coarse_rotation"] - r["fit_coarse_gather"])
+            for r in rows
+        ),
     }
     # Gates. (a) Estimate selection may pick a near-tie runner-up (the
     # documented sigma-class delta) but must not lose real fitness, and it
@@ -277,6 +298,10 @@ def main():
         and summary["max_trn_excess_sparse_vs_exact"] <= 3.0 * sigma
         and summary["mean_trn_excess_sparse_vs_exact"] <= 0.5 * sigma
         and summary["max_rot_excess_sparse_vs_exact"] <= 5e-3
+        # Rotation draws must not be systematically WEAKER than iid
+        # gather draws (mean), and per-seed spread stays sampling-scale.
+        and summary["mean_coarse_fit_rotation_minus_gather"] >= -0.01
+        and summary["max_abs_coarse_fit_sampling_delta"] <= 0.05
     )
     print(json.dumps({**summary, "pass": ok, "per_seed": rows}))
     return 0 if ok else 1

@@ -284,6 +284,42 @@ def test_ransac_chunked_estimate_scoring_recovers_pose(rng):
     assert abs(float(est.fitness) - float(exact.fitness)) < 0.1
 
 
+def test_ransac_rotation_sampling_recovers_pose(rng):
+    """Gather-free 'rotation' sampling (chunked path) must recover the
+    same pose as the reference-shaped 'gather' draws, with comparable
+    fitness — including on a cloud with masked-out rows (the validity
+    window + exact iteration-budget accounting path)."""
+    from tpu3d.ops.fused_features import fused_prepare_features
+    from tpu3d.ops.ransac import ransac_registration
+    from tpu3d.types import PointCloud
+
+    voxel = 0.006
+    src_pts, tgt_pts, R, t = _rigid_pair(rng, n=1500)  # 1500 < 2048 cap:
+    # ~27% of capacity rows are masked padding — rotation must skip them
+    # without consuming iteration budget.
+    src, sf = fused_prepare_features(
+        PointCloud.from_numpy(src_pts, capacity=2048), jnp.float32(voxel * 5)
+    )
+    tgt, tf = fused_prepare_features(
+        PointCloud.from_numpy(tgt_pts, capacity=2048), jnp.float32(voxel * 5)
+    )
+    common = dict(
+        max_iterations=8192, early_exit=True, hyp_chunk=2048,
+        corr_mode="exact", two_stage=False, confidence=2.0,  # no early out
+    )
+    results = {}
+    for mode in ("gather", "rotation"):
+        res = ransac_registration(
+            src, tgt, sf, tf, voxel, sampling=mode, **common
+        )
+        T = np.asarray(res.transformation)
+        assert float(res.fitness) > 0.75, (mode, float(res.fitness))
+        np.testing.assert_allclose(T[:3, :3], R, atol=0.03, err_msg=mode)
+        np.testing.assert_allclose(T[:3, 3], t, atol=0.015, err_msg=mode)
+        results[mode] = float(res.fitness)
+    assert abs(results["rotation"] - results["gather"]) < 0.1
+
+
 def test_icp_source_subsample_matches_exact(rng):
     """src_mode='subsample' iterates on a strided source subset — the
     converged pose must agree with the exact run to ICP's tolerance."""

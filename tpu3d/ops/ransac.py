@@ -164,7 +164,8 @@ def feature_correspondences(
 @functools.partial(
     jax.jit,
     static_argnames=("max_iterations", "chunk", "two_stage", "corr_cap",
-                     "corr_mode", "hyp_chunk", "early_exit", "est_cap"),
+                     "corr_mode", "hyp_chunk", "early_exit", "est_cap",
+                     "sampling"),
 )
 def ransac_registration(
     source: PointCloud,
@@ -182,6 +183,7 @@ def ransac_registration(
     hyp_chunk: int | str = "auto",
     early_exit: str | bool = "auto",
     est_cap: int = 2048,
+    sampling: str = "auto",
 ) -> RegistrationResult:
     """``two_stage``: score every hypothesis on a 16k-point subsample first,
     then re-score only the top 1024 on all points (exact fitness/rmse for
@@ -218,7 +220,28 @@ def ransac_registration(
     targets TWO chunks (min 16384): per-chunk dispatch overhead (~1.5 ms
     on a v5e) dominates chunk count — 100k hypotheses run 9.6 ms in 7
     chunks of 16k but 5.8 ms in 2 chunks of 50k — while a 2-way split
-    still halves the cost of confidence-exceeding easy scenes."""
+    still halves the cost of confidence-exceeding easy scenes.
+
+    ``sampling``: how the 3-point samples are DRAWN (chunked path only).
+    'gather' mirrors the reference (3 iid valid-row indices per
+    hypothesis, duplicate draws consume their iteration,
+    registration.cpp:239-240) — but its (h,3,6) random gather is the
+    chunk's cost center (~1.8 ms per 50k on a v5e; TPU gathers pay
+    per ROW). 'rotation' is gather-free: valid rows are compacted once
+    (one n-row gather), then epoch e pairs row i with rows
+    (i+r1_e) mod count and (i+r2_e) mod count via two dynamic rolls —
+    r1≠r2≠0 by construction, so every triple is distinct-index
+    (duplicate rejection becomes structural) and every valid triple
+    consumes exactly one iteration id (ids are a cumsum of valid rows,
+    carried across chunks, so the max_iterations budget is delivered
+    exactly; the loop bound leaves 2x headroom for masked-out rows).
+    Within an epoch all triples share (r1, r2) — offsets are uniform
+    over the compacted (spatially sorted) rows, so triples stay
+    wide-baseline; the stream is a different RNG design from the
+    reference's mt19937, the same delta class as any reseeding
+    (AB_STATS gates pose/fitness parity across seeds). 'auto' picks
+    'rotation' when the chunked path is active and n >= 2048 (epoch
+    count stays small), else 'gather'."""
     voxel_size = jnp.asarray(voxel_size, jnp.float32)
     thr2 = (voxel_size * 1.5) ** 2  # registration.cpp:213, strict < on err
     n = source.capacity
@@ -296,6 +319,58 @@ def ransac_registration(
         w16t, t_norm = pack_hypotheses(Rs, ts)
         return w16t, t_norm, disabled
 
+    def solve_hypotheses_rotation(kc, h, first_id):
+        """Gather-free 3-point sampling (see ``sampling`` in the main
+        docstring): E = ceil(h/n) epochs over the compacted valid-first
+        table; epoch e yields triples (i, (i+r1)%count, (i+r2)%count) for
+        every valid row i. The mod-count roll is two dynamic rolls + a
+        select (contiguous copies — no per-row gather). Returns
+        (w16t, t_norm, disabled, n_consumed): ids are first_id + the
+        cumsum of valid slot-1 rows, so each valid triple consumes
+        exactly one iteration of the max_iterations budget."""
+        n_ep = -(-h // n)
+        cm1 = jnp.maximum(count - 1, 1)
+        cm2 = jnp.maximum(count - 2, 1)
+        iota = jnp.arange(n)
+        valid1 = iota < count
+        slots1, slots2, slots3 = [], [], []
+        for e in range(n_ep):
+            u = jax.random.randint(
+                jax.random.fold_in(kc, e), (3,), 0, 1 << 30
+            )
+            a = u[0] % cm1
+            r1 = 1 + a
+            r2 = 1 + (a + 1 + u[1] % cm2) % cm1
+            # Per-epoch base rotation r0: epoch h-truncation would
+            # otherwise overweight a fixed row prefix every chunk.
+            r0 = u[2] % jnp.maximum(count, 1)
+
+            def roll_mod(r):
+                # row i -> row (i + r) mod count (i < count; junk above)
+                return jnp.where(
+                    (iota < count - r)[:, None],
+                    jnp.roll(pq_sorted, -r, axis=0),
+                    jnp.roll(pq_sorted, count - r, axis=0),
+                )
+
+            slots1.append(roll_mod(r0))
+            slots2.append(roll_mod(jax.lax.rem(r0 + r1, count)))
+            slots3.append(roll_mod(jax.lax.rem(r0 + r2, count)))
+        s1 = jnp.concatenate(slots1, axis=0)[:h]
+        s2 = jnp.concatenate(slots2, axis=0)[:h]
+        s3 = jnp.concatenate(slots3, axis=0)[:h]
+        vv = jnp.concatenate([valid1] * n_ep, axis=0)[:h]
+        ids = first_id + jnp.cumsum(vv.astype(jnp.int32)) - 1
+        # count < 3: a 3-point sample cannot exist (the reference would
+        # reject every draw as duplicate) — disable all, yielding the
+        # fitness-0 identity result.
+        disabled = (~vv) | (ids >= max_iterations) | (count < 3)
+        s6 = jnp.stack([s1, s2, s3], axis=1)  # (h, 3, 6)
+        Rs, ts = kabsch_quat(s6[..., :3], s6[..., 3:])
+        w16t, t_norm = pack_hypotheses(Rs, ts)
+        n_consumed = jnp.sum(vv.astype(jnp.int32))
+        return w16t, t_norm, disabled, n_consumed
+
     # --- point-side scoring factors (hypothesis independent) ----------------
     feat_t, pq_norm = build_scoring_factors(p, q, src_mask)
 
@@ -316,9 +391,25 @@ def ransac_registration(
             and max_iterations > hyp_chunk
         )
 
+    # Rotation sampling needs the chunked path AND hyp_chunk >= n: with a
+    # short chunk only the first hyp_chunk compacted rows would ever fill
+    # slot 1 (a spatial bias — compacted order is spatially sorted).
+    # n >= 2048 bounds the unrolled epoch count.
+    if sampling == "auto":
+        use_rotation = use_chunked and hyp_chunk >= n >= 2048
+    elif sampling == "rotation":
+        use_rotation = use_chunked and hyp_chunk >= n
+    else:
+        use_rotation = False
+    pq_sorted = pq_packed[perm] if use_rotation else None
+
     if use_chunked:
         # --- sequential-chunk evaluation with the reference's early exit ----
         n_chunks = -(-max_iterations // hyp_chunk)
+        # Rotation sampling delivers `count` (not hyp_chunk) iterations per
+        # chunk; 2x chunk headroom covers valid fractions >= 0.5.
+        n_chunks_bound = 2 * n_chunks if use_rotation else n_chunks
+        max_it = jnp.int32(max_iterations)
         hyp_key = jax.random.fold_in(key, 7)
         id_w16 = jnp.concatenate(
             [
@@ -344,10 +435,16 @@ def ransac_registration(
             k_fin = min(16, hyp_chunk)
 
         def body(state):
-            c, _, bf, br, bw = state
-            w16t, t_norm, disabled = solve_hypotheses(
-                jax.random.fold_in(hyp_key, c), hyp_chunk, c * hyp_chunk
-            )
+            c, fid, _, bf, br, bw = state
+            if use_rotation:
+                w16t, t_norm, disabled, n_cons = solve_hypotheses_rotation(
+                    jax.random.fold_in(hyp_key, c), hyp_chunk, fid
+                )
+            else:
+                w16t, t_norm, disabled = solve_hypotheses(
+                    jax.random.fold_in(hyp_key, c), hyp_chunk, fid
+                )
+                n_cons = jnp.int32(hyp_chunk)
             if use_est:
                 cnt_e, _ = score_all(feat_e, pq_e, w16t, t_norm)
                 fitness = jnp.where(disabled, -1.0, cnt_e / n_valid_e)
@@ -392,6 +489,7 @@ def ransac_registration(
             better = lf > bf  # strict: the earliest chunk keeps ties
             return (
                 c + 1,
+                fid + n_cons,
                 any_ex,
                 jnp.where(better, lf, bf),
                 jnp.where(better, lr, br),
@@ -399,13 +497,17 @@ def ransac_registration(
             )
 
         def cond(state):
-            c, done = state[0], state[1]
-            return (c < n_chunks) & jnp.logical_not(done)
+            c, fid, done = state[0], state[1], state[2]
+            return (
+                (c < n_chunks_bound) & (fid < max_it)
+                & jnp.logical_not(done)
+            )
 
-        _, _, best_fitness, best_rmse, bw = jax.lax.while_loop(
+        _, _, _, best_fitness, best_rmse, bw = jax.lax.while_loop(
             cond,
             body,
             (
+                jnp.int32(0),
                 jnp.int32(0),
                 jnp.bool_(False),
                 jnp.float32(0.0),  # reference best_fitness default

@@ -317,8 +317,11 @@ class SceneViewer:
 
     def export_scene_json(self, path: str) -> str:
         """Write the scene sidecar the live page polls. Atomic (tmp+rename)
-        so a mid-write poll never sees a torn file."""
-        tmp = path + ".tmp"
+        so a mid-write poll never sees a torn file. The tmp name is unique
+        per writer: the watcher thread and direct callers may export
+        concurrently, and a shared tmp lets one rename the other's file
+        away mid-write (observed as FileNotFoundError on os.replace)."""
+        tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp"
         with open(tmp, "w") as f:
             f.write(self._scene_json())
         os.replace(tmp, path)
