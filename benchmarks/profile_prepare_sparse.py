@@ -91,11 +91,13 @@ def main():
             (lo_ + jnp.maximum(length_, 1) - 1) // block, 0, nbk - 1)
 
         def dilate(member):
-            contrib = (live & member[:, None]).astype(jnp.int32).ravel()
-            diff = jnp.zeros((nbk + 1,), jnp.int32)
-            diff = diff.at[blk_lo.ravel()].add(contrib)
-            diff = diff.at[(blk_hi + 1).ravel()].add(-contrib)
-            return jnp.cumsum(diff)[:nbk] > 0
+            sel = (live & member[:, None]).ravel()
+            lo_f = jnp.where(sel, blk_lo.ravel(), nbk + 1)
+            hi_f = jnp.where(sel, blk_hi.ravel(), -1)
+            j = jnp.arange(nbk)
+            cover = (lo_f[:, None] <= j[None, :]) & (
+                j[None, :] <= hi_f[:, None])
+            return jnp.any(cover, axis=0)
 
         member_b = dilate(qm) | qm
         member_a = dilate(member_b) | member_b

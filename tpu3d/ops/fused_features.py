@@ -240,11 +240,20 @@ def _pallas_prepare(cloud, r, r2, block, sub, interpret, nq=None):
         )
 
         def dilate(member):
-            contrib = (live & member[:, None]).astype(jnp.int32).ravel()
-            diff = jnp.zeros((nbk + 1,), jnp.int32)
-            diff = diff.at[blk_lo.ravel()].add(contrib)
-            diff = diff.at[(blk_hi + 1).ravel()].add(-contrib)
-            return jnp.cumsum(diff)[:nbk] > 0
+            # Coverage of contiguous block ranges as a broadcast compare:
+            # block j is covered iff some live member window's
+            # [blk_lo, blk_hi] contains j. (K, nbk) bool is tiny
+            # (~2700 x 911) — scatter-based difference arrays on (nbk,)
+            # operands cost ~1 ms of tiny-op dispatch on a v5e; this is
+            # pure vector compare + reduce.
+            sel = (live & member[:, None]).ravel()  # (K,)
+            lo_f = jnp.where(sel, blk_lo.ravel(), nbk + 1)
+            hi_f = jnp.where(sel, blk_hi.ravel(), -1)
+            j = jnp.arange(nbk)
+            cover = (lo_f[:, None] <= j[None, :]) & (
+                j[None, :] <= hi_f[:, None]
+            )
+            return jnp.any(cover, axis=0)
 
         member_b = dilate(qmask) | qmask
         member_a = dilate(member_b) | member_b

@@ -278,11 +278,6 @@ def build_slab2_aligned(
 
     order = jnp.argsort(key).astype(jnp.int32)
     skey = key[order]
-    svalid = mask[order]
-    pts_ord = pts[order]
-    sp_rows = jnp.stack(
-        [jnp.where(svalid, pts_ord[:, c], _SENTINEL) for c in range(3)]
-    )  # (3, n) — column slices, no (n,3)->(3,n) relayout
 
     # Real bucket boundaries: one vectorized searchsorted of the NB+1
     # static bucket keys (invalid rows key to _NB_MAX<<20 and land after
@@ -297,8 +292,11 @@ def build_slab2_aligned(
 
     # Destination of each real sorted row: its index plus the padding
     # accumulated by all PRIOR bucket runs — a cumulative sum of markers
-    # placed at segment starts (no per-row table gathers).
+    # placed at segment starts (no per-row table gathers). Sorted-row
+    # validity comes from the key itself (invalid rows key to
+    # _NB_MAX<<_Y_BITS | _Y_MAX, past every real bucket) — no mask gather.
     i_idx = jnp.arange(n, dtype=jnp.int32)
+    svalid = skey < (_NB_MAX << _Y_BITS)
     sb = skey >> _Y_BITS
     new_seg = jnp.concatenate(
         [jnp.ones((1,), bool), sb[1:] != sb[:-1]]
@@ -311,19 +309,30 @@ def build_slab2_aligned(
     )
     padshift = jnp.cumsum(marker).astype(jnp.int32)
     dest = jnp.where(svalid, i_idx + padshift, mp)  # invalid → dropped
+    # Route the destination back to ORIGINAL row order with one i32
+    # scatter, so the payload needs NO sorted-order gathers at all (a
+    # 100k-row gather costs ~1 ms on a v5e; the scatter is the same
+    # permutation written the cheap direction).
+    dest_orig = (
+        jnp.full((n,), mp, jnp.int32)
+        .at[order].set(dest, mode="drop", unique_indices=True)
+    )
 
     # ONE (8, Mp) column scatter instead of five 1-D scatters: rows are
     # [x, y, z, valid, orig, pad(3)] — the f32 orig payload is exact for
     # n + Mp < 2^24 (asserted), and padding rows keep UNIQUE out-of-bounds
     # originals (n + position) so a later unique-promise scatter back to
-    # original rows can drop them.
+    # original rows can drop them. Payload rows are in ORIGINAL order
+    # (scattered via dest_orig).
     assert n + mp < (1 << 24), "f32 orig payload exactness bound"
     zrow = jnp.zeros((1, n), jnp.float32)
     payload8 = jnp.concatenate(
         [
-            sp_rows,
-            svalid.astype(jnp.float32)[None],
-            order.astype(jnp.float32)[None],
+            jnp.stack(
+                [jnp.where(mask, pts[:, c], _SENTINEL) for c in range(3)]
+            ),
+            mask.astype(jnp.float32)[None],
+            i_idx.astype(jnp.float32)[None],
             zrow, zrow, zrow,
         ],
         axis=0,
@@ -337,7 +346,7 @@ def build_slab2_aligned(
         ],
         axis=0,
     )  # (8, mp)
-    padded8 = base8.at[:, dest].set(payload8, mode="drop")
+    padded8 = base8.at[:, dest_orig].set(payload8, mode="drop")
     padded_points_t = padded8[:3]
     valid_padded = padded8[3] > 0.5
     padded_orig = padded8[4].astype(jnp.int32)
