@@ -36,7 +36,25 @@ def test_pallas_sweeps_match_xla_engine(rng):
     n1 = np.asarray(xc.normals)[:700]
     n2 = np.asarray(pc.normals)[:700]
     dots = np.abs(np.sum(n1 * n2, axis=1))
-    assert np.quantile(dots, 0.01) > 0.9999, np.quantile(dots, 0.01)
+    # The smallest eigenvector is only DEFINED up to the covariance
+    # eigengap: on rows where the two smallest eigenvalues nearly tie
+    # (sparse/edge neighborhoods), engines at different float precision
+    # legitimately pick different vectors (on real TPU the XLA engine's
+    # covariance dots ride bf16x3 MXU passes while the Pallas kernel is
+    # exact f32 — observed ~1% of rows at dot≈0.84 on a v5e). Compare
+    # only rows with a >=1%-of-trace eigengap, and require those to be
+    # the overwhelming majority.
+    cov_gap = np.empty(700, np.float32)
+    for i in range(700):
+        d = pts - pts[i]
+        nb = d[(d * d).sum(1) <= 0.03 * 0.03]
+        c = np.cov(nb.T) if nb.shape[0] > 1 else np.zeros((3, 3))
+        w = np.sort(np.linalg.eigvalsh(c))
+        cov_gap[i] = (w[1] - w[0]) / max(w.sum(), 1e-30)
+    well = cov_gap > 0.01
+    assert well.mean() > 0.9, well.mean()
+    assert np.quantile(dots[well], 0.01) > 0.9999, (
+        np.quantile(dots[well], 0.01))
 
     f1 = np.asarray(xf.descriptors)[:700]
     f2 = np.asarray(pf.descriptors)[:700]

@@ -579,6 +579,28 @@ def ransac_registration(
         best_t = bw[3:6]
 
     won = best_fitness > 0.0  # reference: must beat the 0-fitness default
+    # Direct winner rescore (registration.cpp:270-282): the rank-16
+    # scoring expansion err2 = F·W + |p|²+|q|² + |t|² is fine for
+    # SELECTING among 100k hypotheses, but its f32 cancellation floor
+    # (~3e-4, worse under Mosaic FMA ordering) pollutes the REPORTED
+    # rmse of near-exact registrations. One direct residual pass over
+    # the single winner is free and reproduces the reference's
+    # computation exactly; selection above (and `won`) stays
+    # expansion-based.
+    dr = p @ best_R.T + best_t - q  # (N, 3)
+    err2_d = jnp.sum(dr * dr, axis=1)
+    inl_d = src_mask & (err2_d < thr2)
+    cnt_d = jnp.sum(inl_d.astype(jnp.float32))
+    best_fitness = cnt_d / jnp.maximum(n_valid, 1.0)
+    best_rmse = jnp.where(
+        cnt_d > 0,
+        jnp.sqrt(
+            jnp.sum(jnp.where(inl_d, err2_d, 0.0))
+            / jnp.maximum(cnt_d, 1.0)
+        ),
+        999.0,
+    )
+
     T = make_transform(best_R, best_t)
     return RegistrationResult(
         transformation=jnp.where(won, T, jnp.eye(4, dtype=jnp.float32)),
