@@ -119,3 +119,41 @@ def test_query_keys_align_with_index():
     keys = np.asarray(query_keys(index, jnp.asarray(pts), jnp.asarray(mask)))
     orig = np.asarray(index.sorted_orig)
     assert (keys[orig] == np.asarray(index.sorted_key)).all()
+
+
+def test_sorted_positions_matches_searchsorted():
+    """The two-level compare formulation is bit-equal to jnp.searchsorted
+    on both sides — including duplicate runs, queries below/above every
+    key, unaligned lengths, and the i32-max sentinel keys that real
+    invalid rows carry (_NB_MAX<<20 | _Y_MAX == int32 max)."""
+    from tpu3d.ops.slab2 import sorted_positions
+
+    rng = np.random.default_rng(11)
+    imax = np.iinfo(np.int32).max
+    for n in (1, 7, 128, 999, 4096):
+        vals = np.sort(
+            rng.integers(0, 1 << 24, size=n).astype(np.int32)
+        )
+        # duplicate runs + sentinel tail like a real key array
+        vals[n // 3: n // 2] = vals[n // 3] if n >= 6 else vals[0]
+        if n >= 8:
+            vals[-3:] = imax
+        sk = jnp.asarray(np.sort(vals))
+        queries = np.concatenate(
+            [
+                rng.integers(0, 1 << 24, size=37).astype(np.int32),
+                vals[rng.integers(0, n, size=23)],  # exact hits
+                np.asarray([0, 1, imax, imax - 1], np.int32),
+            ]
+        )
+        kq = jnp.asarray(queries)
+        for side in ("left", "right"):
+            want = jnp.searchsorted(sk, kq, side=side)
+            got = sorted_positions(sk, kq, side=side)
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(want), err_msg=f"n={n} {side}"
+            )
+        # 2-D query shape passes through
+        got2 = sorted_positions(sk, kq.reshape(-1, 4), side="left")
+        want2 = jnp.searchsorted(sk, kq, side="left").reshape(-1, 4)
+        np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2))

@@ -66,6 +66,39 @@ def _qy_of(y: jnp.ndarray, y0, y_scale) -> jnp.ndarray:
     )
 
 
+def sorted_positions(
+    skey: jnp.ndarray, keys: jnp.ndarray, side: str = "left", L: int = 128
+) -> jnp.ndarray:
+    """Exact ``jnp.searchsorted(skey, keys, side)`` without the binary
+    search: XLA lowers searchsorted on TPU to a ~17-step batched
+    binary-search while_loop of gathers (~1 ms for 2.7k queries over 100k
+    rows — the window-table cost in BENCH_NOTES). This formulation is one
+    broadcast compare over the ``L``-strided block firsts, one (Q, L) row
+    gather, and one compare over the gathered rows — all vector work.
+
+    Derivation (side='left'; 'right' swaps < for <=): with blocks of L
+    sorted rows and c = #{b : firsts[b] < k}, every row before block c−1
+    is <= firsts[c−1+…] < k and every row from block c on is >= firsts[c]
+    >= k, so pos = (c−1)·L + #{rows of block c−1 < k}. Padding rows carry
+    dtype-max sentinels; the final clamp keeps pos <= n even when the
+    query equals dtype max (real sentinel keys do — _NB_MAX<<20|_Y_MAX is
+    exactly i32 max)."""
+    n = skey.shape[0]
+    pad = (-n) % L
+    maxv = jnp.iinfo(skey.dtype).max
+    skp = jnp.pad(skey, (0, pad), constant_values=maxv)
+    blocks = skp.reshape(-1, L)
+    firsts = blocks[:, 0]  # (nfb,)
+    kq = keys.ravel()
+    lt = (lambda a, b: a < b) if side == "left" else (lambda a, b: a <= b)
+    c = jnp.sum(lt(firsts[None, :], kq[:, None]), axis=1)
+    j = jnp.maximum(c - 1, 0)
+    rows = blocks[j]  # (Q, L) row gather
+    inner = jnp.sum(lt(rows, kq[:, None]), axis=1)
+    pos = jnp.minimum(j * L + inner, n)
+    return pos.reshape(keys.shape).astype(jnp.int32)
+
+
 def build_slab2(
     points: jnp.ndarray, mask: jnp.ndarray, bucket_width
 ) -> Slab2Index:
@@ -182,14 +215,12 @@ def block_windows(
     of_empty = b_hi < c0
 
     skey = index.sorted_key
-    lo = jnp.searchsorted(skey, key_lo.ravel()).reshape(key_lo.shape)
-    hi = jnp.searchsorted(
-        skey, key_hi.ravel(), side="right"
-    ).reshape(key_hi.shape)
+    lo = sorted_positions(skey, key_lo, side="left")
+    hi = sorted_positions(skey, key_hi, side="right")
     length = jnp.where(empty, 0, hi - lo)
 
-    lo_of = jnp.searchsorted(skey, of_lo)
-    hi_of = jnp.searchsorted(skey, of_hi, side="right")
+    lo_of = sorted_positions(skey, of_lo, side="left")
+    hi_of = sorted_positions(skey, of_hi, side="right")
     len_of = jnp.where(of_empty, 0, hi_of - lo_of)
 
     lo_all = jnp.concatenate([lo, lo_of[:, None]], axis=1).astype(jnp.int32)
@@ -283,7 +314,7 @@ def build_slab2_aligned(
     # static bucket keys (invalid rows key to _NB_MAX<<20 and land after
     # every boundary).
     bounds = jnp.arange(max_buckets + 1, dtype=jnp.int32) << _Y_BITS
-    starts = jnp.searchsorted(skey, bounds).astype(jnp.int32)  # (NB+1,)
+    starts = sorted_positions(skey, bounds, side="left")  # (NB+1,)
     counts = starts[1:] - starts[:-1]
     pcounts = -(-counts // block) * block
     offsets = jnp.concatenate(
@@ -381,12 +412,15 @@ def aligned_block_windows(
     qy_b = al.padded_points_t[1].reshape(nbk, block)
 
     blk_start = jnp.arange(nbk, dtype=jnp.int32) * block
+    # Owning bucket: offsets is tiny (NB+1), one broadcast compare beats
+    # a batched binary search; tail blocks map past the last bucket.
     b_blk = (
-        jnp.searchsorted(al.offsets, blk_start, side="right").astype(
-            jnp.int32
+        jnp.sum(
+            al.offsets[None, :] <= blk_start[:, None], axis=1,
+            dtype=jnp.int32,
         )
         - 1
-    )  # owning bucket; tail blocks map past the last bucket
+    )
     live = jnp.any(vm, axis=1) & (b_blk >= 0) & (b_blk < nb)
 
     big = jnp.float32(jnp.inf)
@@ -402,10 +436,8 @@ def aligned_block_windows(
     key_lo = (cc << _Y_BITS) | qy_lo[:, None]
     key_hi = (cc << _Y_BITS) | qy_hi[:, None]
     skey = al.sorted_key
-    lo_r = jnp.searchsorted(skey, key_lo.ravel()).reshape(key_lo.shape)
-    hi_r = jnp.searchsorted(
-        skey, key_hi.ravel(), side="right"
-    ).reshape(key_hi.shape)
+    lo_r = sorted_positions(skey, key_lo, side="left")
+    hi_r = sorted_positions(skey, key_hi, side="right")
     length = jnp.where(ok, hi_r - lo_r, 0).astype(jnp.int32)
     # Real row → padded row: shift by the bucket's padding offset.
     lo_p = (al.offsets[cc] + (lo_r - al.starts_real[cc])).astype(jnp.int32)
