@@ -157,3 +157,31 @@ def test_sorted_positions_matches_searchsorted():
         got2 = sorted_positions(sk, kq.reshape(-1, 4), side="left")
         want2 = jnp.searchsorted(sk, kq, side="left").reshape(-1, 4)
         np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2))
+
+
+def test_sorted_positions_float_keys():
+    """Float keys (slab.py x-windows): bit-equal to jnp.searchsorted
+    including the 3e4 invalid-row sentinels and duplicate runs."""
+    from tpu3d.ops.slab2 import sorted_positions
+
+    rng = np.random.default_rng(5)
+    for n in (3, 200, 4097):
+        x = np.sort(rng.normal(size=n).astype(np.float32))
+        if n >= 10:
+            x[-4:] = np.float32(3e4)  # invalid-row sentinels
+            x[n // 4: n // 3] = x[n // 4]  # duplicate run
+        sx = jnp.asarray(x)
+        q = np.concatenate(
+            [
+                rng.normal(size=51).astype(np.float32),
+                x[rng.integers(0, n, size=17)],
+                np.asarray([-1e9, 1e9, 3e4, 2.9e4], np.float32),
+            ]
+        )
+        kq = jnp.asarray(q)
+        for side in ("left", "right"):
+            want = jnp.searchsorted(sx, kq, side=side)
+            got = sorted_positions(sx, kq, side=side)
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(want), err_msg=f"n={n} {side}"
+            )

@@ -64,12 +64,20 @@ def build_slab(points: jnp.ndarray, mask: jnp.ndarray) -> SlabIndex:
 
 
 def _block_slices(slab: SlabIndex, qx_blocks: jnp.ndarray, radius):
-    """(n_blocks,) slice starts + lengths for [min−r, max+r] per block."""
+    """(n_blocks,) slice starts + lengths for [min−r, max+r] per block.
+
+    Uses the broadcast-compare sorted_positions instead of
+    jnp.searchsorted: the binary search lowers to ~17 sequential gather
+    steps on TPU, and this runs once per ICP iteration."""
+    from tpu3d.ops.slab2 import sorted_positions
+
     r = jnp.asarray(radius, jnp.float32)
-    lo = jnp.searchsorted(slab.sorted_x, jnp.min(qx_blocks, axis=1) - r)
+    lo = sorted_positions(
+        slab.sorted_x, jnp.min(qx_blocks, axis=1) - r, side="left"
+    )
     # side='right' keeps targets at exactly x == block_max + radius inside
     # the window, matching the inclusive d2 <= r2 gates downstream.
-    hi = jnp.searchsorted(
+    hi = sorted_positions(
         slab.sorted_x, jnp.max(qx_blocks, axis=1) + r, side="right"
     )
     return lo.astype(jnp.int32), (hi - lo).astype(jnp.int32)

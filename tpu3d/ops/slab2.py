@@ -82,10 +82,16 @@ def sorted_positions(
     >= k, so pos = (c−1)·L + #{rows of block c−1 < k}. Padding rows carry
     dtype-max sentinels; the final clamp keeps pos <= n even when the
     query equals dtype max (real sentinel keys do — _NB_MAX<<20|_Y_MAX is
-    exactly i32 max)."""
+    exactly i32 max). Works for float keys too (slab.py x-windows): pad
+    rows carry finfo max; NaN-free inputs assumed."""
     n = skey.shape[0]
     pad = (-n) % L
-    maxv = jnp.iinfo(skey.dtype).max
+    info = (
+        jnp.iinfo
+        if jnp.issubdtype(skey.dtype, jnp.integer)
+        else jnp.finfo
+    )
+    maxv = info(skey.dtype).max
     skp = jnp.pad(skey, (0, pad), constant_values=maxv)
     blocks = skp.reshape(-1, L)
     firsts = blocks[:, 0]  # (nfb,)
