@@ -17,7 +17,16 @@ and extrapolated by the known O(N²)/O(H·N) scaling of each stage; the
 measurement is cached in BASELINE_CPU.json with its derivation.
 
 Env knobs: TPU3D_BENCH_N (default 100352), TPU3D_BENCH_RANSAC (default
-100000), TPU3D_BENCH_ICP (default 200).
+100000), TPU3D_BENCH_ICP (default 200), TPU3D_BENCH_CORR_CAP (default
+4096), TPU3D_BENCH_SRC_CAP (default 8192).
+
+The correspondence/ICP-source subset caps run TIGHTER here than the
+library defaults (8192/16384): the bench caps are validated end to end by
+benchmarks/ab_stats.py and benchmarks/robustness.py (which read the same
+env knobs, so the checked-in AB_STATS/robustness artifacts cover exactly
+this configuration) — estimate sigma grows ~sqrt(2) while pose error stays
+at ICP's convergence floor. Library defaults stay the safer general-purpose
+setting.
 """
 
 from __future__ import annotations
@@ -36,6 +45,18 @@ _CPU_BASELINE_PATH = os.path.join(_REPO, "BASELINE_CPU.json")
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def bench_caps() -> tuple[int, int]:
+    """(corr_cap, src_cap) for the headline configuration — shared with
+    benchmarks/ab_stats.py and benchmarks/robustness.py so the quality
+    artifacts validate the exact caps the bench runs (chip-measured:
+    8192/16384 -> 4096/8192 is 13.9 -> 12.7 ms/pair with pose error
+    unchanged at the convergence floor)."""
+    return (
+        int(os.environ.get("TPU3D_BENCH_CORR_CAP", "4096")),
+        int(os.environ.get("TPU3D_BENCH_SRC_CAP", "8192")),
+    )
 
 
 def make_pair(n: int, seed: int = 0, voxel: float = 0.005):
@@ -151,6 +172,7 @@ def main():
     n = int(os.environ.get("TPU3D_BENCH_N", "100352"))
     ransac_iters = int(os.environ.get("TPU3D_BENCH_RANSAC", "100000"))
     icp_iters = int(os.environ.get("TPU3D_BENCH_ICP", "200"))
+    corr_cap, src_cap = bench_caps()
 
     import jax
     import jax.numpy as jnp
@@ -205,7 +227,7 @@ def main():
         source = PointCloud(points=src_pts, mask=src_mask)
         if prep_mode == "sparse":
             sub_c, sub_f, _ = fused_prepare_sparse(
-                source, jnp.float32(voxel * 5)
+                source, jnp.float32(voxel * 5), corr_cap=corr_cap
             )
             coarse = ransac_registration(
                 sub_c, tgt, sub_f, tgt_feat, voxel,
@@ -217,12 +239,12 @@ def main():
             )
             coarse = ransac_registration(
                 source, tgt, sfeat, tgt_feat, voxel,
-                max_iterations=ransac_iters,
+                max_iterations=ransac_iters, corr_cap=corr_cap,
             )
         refined = icp_refine(
             source, tgt, coarse.transformation, voxel * 0.4,
             max_iterations=icp_iters, point_to_plane=True,
-            target_index=tgt_index,
+            target_index=tgt_index, src_cap=src_cap,
         )
         return refined.transformation, refined.fitness, refined.rmse
 

@@ -32,7 +32,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import jax.numpy as jnp  # noqa: E402
 
-from bench import make_pair  # noqa: E402
+from bench import bench_caps, make_pair  # noqa: E402
 from tpu3d.ops.fused_features import (  # noqa: E402
     fused_prepare_features,
     fused_prepare_sparse,
@@ -52,6 +52,9 @@ def main():
     n_seeds = int(os.environ.get("TPU3D_AB_SEEDS", "20"))
     radius = jnp.float32(voxel * 5)
     confidence = 0.999
+    # Headline-config caps (bench.py bench_caps) — the sparse-path items
+    # (4)/(5) below validate the exact configuration the bench times.
+    corr_cap, src_cap = bench_caps()
 
     rows = []
     for seed in range(n_seeds):
@@ -99,7 +102,8 @@ def main():
         # the TRUE pose on the same scales as the default pipeline: the
         # only new variable vs (3)'s corr_mode='auto' is the subset's
         # spatial stratification (block patches vs row stride).
-        sub_c, sub_f, _ = fused_prepare_sparse(src, radius)
+        sub_c, sub_f, _ = fused_prepare_sparse(src, radius,
+                                               corr_cap=corr_cap)
         coarse_s = ransac_registration(
             sub_c, tgt_p, sub_f, tgt_f, voxel, max_iterations=100000,
             seed=seed, confidence=confidence, corr_mode="exact",
@@ -113,7 +117,8 @@ def main():
             sampling="gather",
         )
         ref_s = icp_refine(src, tgt_p, coarse_s.transformation,
-                           voxel * 0.4, max_iterations=200)
+                           voxel * 0.4, max_iterations=200,
+                           src_cap=src_cap)
         Ts = np.asarray(ref_s.transformation)
         rot_true_s = float(np.abs(Ts[:3, :3] - R_true).max())
         trn_true_s = float(np.abs(Ts[:3, 3] - t_true).max())

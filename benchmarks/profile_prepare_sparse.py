@@ -41,7 +41,10 @@ def main():
     r = jnp.float32(voxel * 5)
     r2 = r * r
     src = PointCloud.from_numpy(src_np, capacity=n)
-    block, sub, corr_cap = 128, 256, 8192
+    from bench import bench_caps
+
+    block, sub = 128, 256
+    corr_cap = bench_caps()[0]
 
     def t(name, fn, *args, **kw):
         res = device_timeit(fn, *args, iters=3, **kw)

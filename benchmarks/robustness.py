@@ -32,7 +32,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import jax.numpy as jnp  # noqa: E402
 
-from bench import make_pair  # noqa: E402
+from bench import bench_caps, make_pair  # noqa: E402
 from tpu3d.ops.fused_features import fused_prepare_features  # noqa: E402
 from tpu3d.ops.icp import icp_refine  # noqa: E402
 from tpu3d.ops.ransac import ransac_registration  # noqa: E402
@@ -64,11 +64,17 @@ def run_scenario(n, seed, noise_frac, overlap_cut, voxel=0.002):
     radius = jnp.float32(voxel * 5)
     src_p, src_f = fused_prepare_features(src, radius)
     tgt_p, tgt_f = fused_prepare_features(tgt, radius)
+    # Headline-config caps (bench.py bench_caps): the robustness gate runs
+    # the same subset sizes the bench times, so noise/overlap scenarios
+    # cover the tighter caps too.
+    corr_cap, src_cap = bench_caps()
     coarse = ransac_registration(
-        src_p, tgt_p, src_f, tgt_f, voxel, max_iterations=100000
+        src_p, tgt_p, src_f, tgt_f, voxel, max_iterations=100000,
+        corr_cap=corr_cap,
     )
     refined = icp_refine(
-        src_p, tgt_p, coarse.transformation, voxel * 0.4, max_iterations=200
+        src_p, tgt_p, coarse.transformation, voxel * 0.4,
+        max_iterations=200, src_cap=src_cap,
     )
     T = np.asarray(refined.transformation)
     rot_err = float(np.abs(T[:3, :3] - R_true).max())

@@ -139,3 +139,38 @@ def test_kabsch3_planes_matches_kabsch_quat():
     # Both recover the ground-truth rigid motion on exact data (f32 QCP
     # Newton precision on random triples is ~1e-4).
     np.testing.assert_allclose(Rp, np.broadcast_to(R, (h, 3, 3)), atol=1e-3)
+
+
+def test_kabsch_quat_degenerate_triples_stay_orthonormal(rng):
+    """Near-collinear / tiny-extent 3-point samples must yield ORTHONORMAL
+    rotations (regression: the QCP adjugate-column norm is built from raw
+    3x3 cofactors, which underflow f32 for ~1e-4 m triples — the
+    'normalized' quaternion came out with ||q|| = 1.0044 (or NaN), i.e. a
+    SCALED rotation, and one such sample scored fitness 1.0 in RANSAC's
+    rank-16 expansion and hijacked the winner; caught by the ab_stats
+    gate on the real chip, reproduced hermetically here)."""
+    from tpu3d.ops.transforms import kabsch_quat
+
+    R_ref = _random_rotation(np.random.default_rng(3)).astype(np.float32)
+    t_ref = np.array([0.02, -0.015, 0.01], np.float32)
+    eye = np.eye(3, dtype=np.float32)
+    for scale in (1.0, 1e-2, 1e-3, 3e-4, 1e-4, 3e-5, 1e-6, 0.0):
+        # Nearly-collinear triple of `scale` extent sitting 0.7 m from the
+        # origin (a realistic adjacent-points FPFH-correspondence draw).
+        p = np.array(
+            [[0, 0, 0.7], [1, 0.03, 0.7], [2.1, -0.02, 0.701]], np.float32
+        )
+        p[:, :2] *= scale
+        p[:, 2] += rng.normal(0, scale * 0.01, 3).astype(np.float32)
+        q = p @ R_ref.T + t_ref
+        R, t = kabsch_quat(jnp.asarray(p)[None], jnp.asarray(q)[None])
+        Rn = np.asarray(R)[0]
+        assert np.isfinite(Rn).all(), f"scale={scale}: non-finite R"
+        err = np.abs(Rn @ Rn.T - eye).max()
+        assert err < 1e-5, f"scale={scale}: |RR^T - I| = {err:.3e}"
+        # Non-degenerate scales must still FIT the sample exactly (the
+        # triple is deliberately near-collinear, so the pose about the
+        # line axis is underdetermined — residuals are the right check).
+        if scale >= 1e-3:
+            res = np.abs(p @ Rn.T + np.asarray(t)[0] - q).max()
+            assert res < 1e-5 * max(scale, 0.1), f"scale={scale}: {res:.2e}"

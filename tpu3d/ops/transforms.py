@@ -334,7 +334,31 @@ def _qcp_quat_planes(
     for _ in range(2):
         lam = _rayleigh(v)
         v = _adj_best_col(lam)
-    return v[0], v[1], v[2], v[3]
+    # Final EXACT re-normalization + degeneracy fallback. The in-column
+    # normalization above divides by a norm computed from raw 3x3
+    # cofactors; for tiny near-collinear samples (~1e-4 m extent) those
+    # cofactors sit at ~1e-19 and their SQUARES underflow f32 (flushed to
+    # zero on TPU), so the "normalized" quaternion can come out with
+    # ‖q‖ ≠ 1 (measured 1.0044) or NaN. A non-unit quaternion yields a
+    # SCALED rotation matrix — which breaks every consumer that relies on
+    # ‖Rp‖ = ‖p‖, most damagingly RANSAC's rank-16 scoring expansion
+    # (err² = F·W + ‖p‖² + ‖q‖² + ‖t‖² turns negative for every point, so
+    # one degenerate 3-point sample scores fitness 1.0 and hijacks the
+    # winner selection — a bug the ab_stats gate caught live). Here the
+    # components are already O(1), so this renormalization is exact; fully
+    # degenerate/non-finite solutions fall back to the identity quaternion
+    # (an arbitrary valid rotation, honestly scored — same contract as the
+    # reference's Jacobi-SVD on such samples, registration.cpp:254-262).
+    v0, v1, v2, v3 = v
+    nrm = v0 * v0 + v1 * v1 + v2 * v2 + v3 * v3
+    ok = jnp.isfinite(nrm) & (nrm > 1e-12)
+    inv = jax.lax.rsqrt(jnp.where(ok, nrm, 1.0))
+    return (
+        jnp.where(ok, v0 * inv, 1.0),
+        jnp.where(ok, v1 * inv, 0.0),
+        jnp.where(ok, v2 * inv, 0.0),
+        jnp.where(ok, v3 * inv, 0.0),
+    )
 
 
 def kabsch3_planes(ps, qs):
