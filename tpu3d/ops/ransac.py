@@ -346,12 +346,13 @@ def ransac_registration(
             r0 = u[2] % jnp.maximum(count, 1)
 
             def roll_mod(r):
-                # row i -> row (i + r) mod count (i < count; junk above)
-                return jnp.where(
-                    (iota < count - r)[:, None],
-                    jnp.roll(pq_sorted, -r, axis=0),
-                    jnp.roll(pq_sorted, count - r, axis=0),
-                )
+                # row i -> row (i + r) mod count (i < count; junk above):
+                # one contiguous dynamic_slice of the doubled table
+                # (pq2[i + r] = pq_sorted[(i + r) mod count] for every
+                # i < count when r < count — see pq2's construction).
+                # Bit-identical to the two-roll+select formulation it
+                # replaces, at one op per slot instead of three.
+                return jax.lax.dynamic_slice(pq2_sorted, (r, 0), (n, 6))
 
             slots1.append(roll_mod(r0))
             slots2.append(roll_mod(jax.lax.rem(r0 + r1, count)))
@@ -401,7 +402,22 @@ def ransac_registration(
         use_rotation = use_chunked and hyp_chunk >= n
     else:
         use_rotation = False
-    pq_sorted = pq_packed[perm] if use_rotation else None
+    if use_rotation:
+        # Mod-count roll table for the rotation sampler: rows [0, count)
+        # hold the compacted valid rows, and a second full copy starts AT
+        # row `count` (one dynamic_update_slice), so for any shift
+        # r < count the contiguous window pq2[r : r + n] reads row
+        # (i + r) mod count at position i for every i < count (positions
+        # i >= count are junk either way — slot validity masks them).
+        # Built once; each epoch slot is then a single dynamic_slice.
+        pq_sorted = pq_packed[perm]
+        pq2_sorted = jax.lax.dynamic_update_slice(
+            jnp.concatenate([pq_sorted, jnp.zeros_like(pq_sorted)], axis=0),
+            pq_sorted,
+            (count, jnp.int32(0)),
+        )
+    else:
+        pq_sorted = pq2_sorted = None
 
     if use_chunked:
         # --- sequential-chunk evaluation with the reference's early exit ----
