@@ -167,6 +167,37 @@ def test_icp_breaks_on_no_correspondences(rng):
     assert float(res.rmse) == 0.0
 
 
+def test_icp_singular_solve_keeps_finite_pose():
+    """A degenerate match set (collinear points) makes the p2plane 6x6
+    normal system singular; the solve returns non-finite entries. The
+    loop must keep the last finite T (and stop) rather than hand a NaN
+    pose to the caller — the bug class behind a NaN pipeline waypoint
+    whose reported fitness/rmse looked sane."""
+    from tpu3d.ops.icp import IcpStats, icp_loop
+
+    def stats_fn(T):
+        # Rank-deficient ata (only [0,0] nonzero) with an inconsistent
+        # rhs → jnp.linalg.solve yields inf/nan.
+        ata = jnp.zeros((6, 6), jnp.float32).at[0, 0].set(1.0)
+        atb = jnp.ones((6,), jnp.float32)
+        return IcpStats(
+            ata=ata, atb=atb, sw=jnp.float32(8.0),
+            sp=jnp.zeros((3,)), sq=jnp.zeros((3,)),
+            H=jnp.zeros((3, 3)), n_corr=jnp.float32(8.0),
+            sum_d2=jnp.float32(1e-4),
+        )
+
+    res = icp_loop(
+        stats_fn, jnp.float32(10.0), jnp.eye(4), 10, point_to_plane=True
+    )
+    T = np.asarray(res.transformation)
+    assert np.all(np.isfinite(T))
+    np.testing.assert_allclose(T, np.eye(4))
+    # Metrics measured at T stay reported.
+    assert abs(float(res.fitness) - 0.8) < 1e-6
+    assert np.isfinite(float(res.rmse))
+
+
 def test_ransac_two_stage_matches_single_stage(rng):
     tgt_pts = _bumpy_cloud(rng, 150)
     R, t = _rigid(rng)

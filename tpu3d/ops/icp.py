@@ -130,13 +130,20 @@ def icp_loop(
         new_fit = s.n_corr / n_valid
 
         abort = s.n_corr < 3.0  # break BEFORE updating anything (:361)
+        # Singular/ill-conditioned solve (few or degenerate matches under a
+        # junk initial pose): the 6x6 solve or the Kabsch step can return
+        # non-finite entries. Keep the last finite T and stop — fitness and
+        # rmse stay valid (they are measured at T, pre-update). Without
+        # this the NaN pose survives to the caller even though the
+        # reported metrics look sane.
+        bad = ~jnp.all(jnp.isfinite(newT))
         converged = (it > 0) & (jnp.abs(rmse - new_rmse) < 1e-6)
         return (
-            jnp.where(abort, T, newT),
+            jnp.where(abort | bad, T, newT),
             jnp.where(abort, fitness, new_fit),
             jnp.where(abort, rmse, new_rmse),
             it + 1,
-            abort | converged,
+            abort | bad | converged,
         )
 
     def cond(state):
