@@ -80,8 +80,8 @@ def main():
         )  # est_cap=2048 default -> in-chunk estimate scoring
         exact_sc = ransac_registration(
             src_p, tgt_p, src_f, tgt_f, voxel, max_iterations=100000,
-            seed=seed, confidence=confidence, est_cap=4096,
-        )  # 8192 < 4*4096 -> exact chunk scoring, same stream
+            seed=seed, confidence=confidence, est_cap=8192,
+        )  # 8192 < 2*8192 -> exact chunk scoring, same stream
         fit_est = float(est.fitness)
         fit_exc = float(exact_sc.fitness)
 

@@ -442,8 +442,20 @@ def aligned_block_windows(
     key_lo = (cc << _Y_BITS) | qy_lo[:, None]
     key_hi = (cc << _Y_BITS) | qy_hi[:, None]
     skey = al.sorted_key
-    lo_r = sorted_positions(skey, key_lo, side="left")
-    hi_r = sorted_positions(skey, key_hi, side="right")
+    # ONE fused sorted_positions call for lo+hi at L=1024: two separate
+    # L=128 calls measure ~1.1 ms at 100k rows, the fused L=1024 call
+    # ~0.15 ms (chip, benchmarks/profile_glue2.py) — the (Q, L) row
+    # gather count halves and the wider rows amortize its fixed cost.
+    # side='left' for both: a 'right' search of integer key k is exactly
+    # a 'left' search of k+1 (first index with a[i] > k == first with
+    # a[i] >= k+1). No i32 overflow: key_hi <= (2046<<20)|_Y_MAX, so
+    # key_hi+1 <= 2047<<20 < i32 max (the invalid-row sentinel key).
+    both = sorted_positions(
+        skey, jnp.concatenate([key_lo, key_hi + 1], axis=0),
+        side="left", L=1024,
+    )
+    lo_r = both[:nbk]
+    hi_r = both[nbk:]
     length = jnp.where(ok, hi_r - lo_r, 0).astype(jnp.int32)
     # Real row → padded row: shift by the bucket's padding offset.
     lo_p = (al.offsets[cc] + (lo_r - al.starts_real[cc])).astype(jnp.int32)
