@@ -30,7 +30,6 @@ from tpu3d.ops.features_pallas import (  # noqa: E402
     moments_sweep_pallas,
     spfh_sweep_pallas,
 )
-from tpu3d.ops.normals import smallest_eigvec_3x3_planes  # noqa: E402
 from tpu3d.ops.slab2 import (  # noqa: E402
     aligned_block_windows,
     build_slab2_aligned,
@@ -100,26 +99,11 @@ def make_prefix(stop: str, r, block, sub, nq, max_buckets):
         q8 = jnp.concatenate(
             [pts_t, mrow, jnp.zeros((4, mp), jnp.float32)], axis=0
         )
-        momout = moments_sweep_pallas(
+        nrm8 = moments_sweep_pallas(
             q8, pts_t, lo, len_a, r2, block=block, sub=sub
-        )
-        if stop == "sweepA":
-            return momout
-        cnt = jnp.maximum(momout[:, 9], 1.0)
-        mx, my, mz = (momout[:, k] / cnt for k in (0, 1, 2))
-        c00 = momout[:, 3] / cnt - mx * mx
-        c11 = momout[:, 4] / cnt - my * my
-        c22 = momout[:, 5] / cnt - mz * mz
-        c01 = momout[:, 6] / cnt - mx * my
-        c02 = momout[:, 7] / cnt - mx * mz
-        c12 = momout[:, 8] / cnt - my * mz
-        nx, ny, nz = smallest_eigvec_3x3_planes(
-            c00, c01, c02, c11, c12, c22
-        )
-        flip = nx * pts_t[0] + ny * pts_t[1] + nz * pts_t[2] > 0
-        sgn = jnp.where(al.valid_padded, jnp.where(flip, -1.0, 1.0), 0.0)
-        nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
-        if stop == "eigvec":
+        )  # (8, Mp) — normals computed in-kernel now
+        nx, ny, nz = nrm8[0], nrm8[1], nrm8[2]
+        if stop in ("sweepA", "eigvec"):
             return nx, ny, nz
 
         nrm_t = jnp.stack([nx, ny, nz])
@@ -149,15 +133,13 @@ def make_prefix(stop: str, r, block, sub, nq, max_buckets):
         )
         if stop == "packb":
             return packed_b, q8n
-        spfhout = spfh_sweep_pallas(
+        spfh40 = spfh_sweep_pallas(
             q8n, packed_b, lo, len_b, r2, block=block, sub=sub
-        )
-        if stop == "sweepB":
-            return spfhout
-        spfh_padded = ff._hist_from_cums(spfhout[:, :30], spfhout[:, 30])
-        if stop == "hist":
-            return spfh_padded
-        packed_c = jnp.concatenate([pts_t, spfh_padded.T], axis=0)
+        )  # (40, Mp) — hist assembly + normalize + transpose in-kernel
+        spfh_planes = spfh40[:33]
+        if stop in ("sweepB", "hist"):
+            return spfh_planes
+        packed_c = jnp.concatenate([pts_t, spfh_planes], axis=0)
         if stop == "packc":
             return packed_c
         wsum = fpfh_sweep_pallas(
@@ -165,9 +147,6 @@ def make_prefix(stop: str, r, block, sub, nq, max_buckets):
         )[:, :33]
         if stop == "sweepC":
             return wsum
-        f = spfh_padded + wsum
-        sf = jnp.sum(f, axis=1, keepdims=True)
-        fpfh_padded = jnp.where(sf > 0, f / jnp.maximum(sf, 1e-30), f)
 
         take = nruns * run_stride
 
@@ -192,7 +171,14 @@ def make_prefix(stop: str, r, block, sub, nq, max_buckets):
             .reshape(3, nq_ * block).T
         )
         sub_mask = pick_rows_1d(al.valid_padded)
-        sub_desc = pick_rows(fpfh_padded)
+        sub_spfh = (
+            spfh_planes.reshape(33, nbk, block)[:, :take]
+            .reshape(33, nruns, run_stride, block)[:, :, :q_run]
+            .reshape(33, nq_ * block).T
+        )
+        f = sub_spfh + pick_rows(wsum)
+        sf = jnp.sum(f, axis=1, keepdims=True)
+        sub_desc = jnp.where(sf > 0, f / jnp.maximum(sf, 1e-30), f)
         sub_orig = pick_rows_1d(al.padded_orig)
         sub_pts = jnp.where(sub_mask[:, None], sub_pts, 0.0)
         sub_desc = jnp.where(sub_mask[:, None], sub_desc, 0.0)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpu3d.ops.normals import smallest_eigvec_3x3_planes_newton
 from tpu3d.ops.pallas_walk import window_walk, window_walk_vmem
 
 _BIG = 1e30
@@ -127,15 +128,29 @@ def _dot_sub(a, b):
 
 def _moments_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
                     cand, sems, *, k_max, vmem=False):
+    """Moments AND the full covariance → smallest-eigenvector → viewpoint
+    flip epilogue, in-kernel. Two layout tricks make the epilogue ~free:
+
+      * the moment accumulator is TRANSPOSED — (10, B) via
+        dot_general(feats, w) instead of (B, 10) via dot(w, feats) — so
+        every epilogue op runs on full-lane (1, B) rows instead of
+        1-lane (B, 1) columns (a 128x vreg-count difference);
+      * the eigenvector uses the trig-free Newton Cardano
+        (normals.smallest_eigvec_3x3_planes_newton) — Mosaic has no
+        acos lowering (benchmarks/pallas_probe.py).
+
+    Doing this here (vs the former XLA epilogue over ALL padded rows)
+    scales the normal-solve cost with the swept blocks — in sparse
+    prepare mode that is ~16% of the cloud (fused_features member sets).
+    """
     b = pl.program_id(0)
     sub = cand.shape[2]
     r2 = scal_ref[0]
-    _, qx, qy, qz, qm = _split_q(q_ref)
+    qt, qx, qy, qz, qm = _split_q(q_ref)
     bsz = qx.shape[0]
     cx, cy, cz = _masked_center(qx, qy, qz, qm)
 
     def tile_fn(tile, own, start, carry):
-        mom, cnt = carry
         dx, dy, dz, d2 = _d2_planes(tile, qx, qy, qz)
         w = jnp.where(own & (d2 <= r2), 1.0, 0.0)  # (B, sub)
         c0 = tile[0:1, :] - cx  # (1, sub) centered candidate planes
@@ -143,18 +158,39 @@ def _moments_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
         c2 = tile[2:3, :] - cz
         feats = jnp.concatenate(
             [c0, c1, c2, c0 * c0, c1 * c1, c2 * c2,
-             c0 * c1, c0 * c2, c1 * c2],
+             c0 * c1, c0 * c2, c1 * c2, jnp.ones_like(c0)],
             axis=0,
-        )  # (9, sub)
-        return mom + _dot_sub(w, feats), cnt + jnp.sum(w, 1, keepdims=True)
+        )  # (10, sub); row 9 of the dot is the neighbor count
+        return carry + jax.lax.dot_general(
+            feats, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (10, B)
 
-    mom, cnt = run_walk(
+    mom = run_walk(
         vmem, lo_ref, len_ref, b, sub, packed, cand, sems, tile_fn,
-        (jnp.zeros((bsz, 9), jnp.float32), jnp.zeros((bsz, 1), jnp.float32)),
+        jnp.zeros((10, bsz), jnp.float32),
         k_max,
     )
+    cnt = jnp.maximum(mom[9:10, :], 1.0)
+    mx, my, mz = mom[0:1] / cnt, mom[1:2] / cnt, mom[2:3] / cnt
+    c00 = mom[3:4] / cnt - mx * mx
+    c11 = mom[4:5] / cnt - my * my
+    c22 = mom[5:6] / cnt - mz * mz
+    c01 = mom[6:7] / cnt - mx * my
+    c02 = mom[7:8] / cnt - mx * mz
+    c12 = mom[8:9] / cnt - my * mz
+    nx, ny, nz = smallest_eigvec_3x3_planes_newton(
+        c00, c01, c02, c11, c12, c22
+    )
+    # Flip toward the viewpoint/origin on the RAW coords (rows 0-2 of the
+    # query operand are uncentered), zero invalid/padding rows.
+    flip = nx * qt[0:1, :] + ny * qt[1:2, :] + nz * qt[2:3, :] > 0
+    sgn = jnp.where(qt[3:4, :] > 0.5, jnp.where(flip, -1.0, 1.0), 0.0)
     out_ref[:] = jnp.concatenate(
-        [mom, cnt, jnp.zeros((bsz, 6), jnp.float32)], axis=1
+        [nx * sgn, ny * sgn, nz * sgn, mom[9:10],
+         jnp.zeros((4, bsz), jnp.float32)],
+        axis=0,
     )
 
 
@@ -163,10 +199,12 @@ def _moments_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
 )
 def moments_sweep_pallas(q8, packed3, lo, ln, r2, block=256, sub=512,
                          interpret=False, vmem="auto"):
-    """Returns (Np, 16): [moments(9) | count | pad(6)] — moments are in
-    the masked block-center frame (translation cancels in covariance)."""
-    return _run_sweep(_moments_kernel, q8, packed3, lo, ln, (r2,), 16,
-                      block, sub, interpret, vmem)
+    """Returns (8, Np) PLANES: rows 0-2 viewpoint-flipped unit normals
+    (zeroed on invalid rows), row 3 the radius-neighbor count, 4-7 pad —
+    the covariance/eigenvector epilogue runs in-kernel (see
+    _moments_kernel)."""
+    return _run_sweep(_moments_kernel, q8, packed3, lo, ln, (r2,), 8,
+                      block, sub, interpret, vmem, transposed_out=True)
 
 
 # --------------------------------------------------------------------------
@@ -256,9 +294,50 @@ def _spfh_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
         (jnp.zeros((bsz, 30), jnp.float32), jnp.zeros((bsz, 1), jnp.float32)),
         k_max,
     )
-    out_ref[:] = jnp.concatenate(
-        [cum, cnt, jnp.zeros((bsz, 1), jnp.float32)], axis=1
+    # Histogram assembly + L1 normalization + TRANSPOSE in one epilogue:
+    # hist_b = cum_b − cum_{b+1} per angle (cum_0 = count, cum_11 = 0) is
+    # LINEAR in [cum | cnt], so one MXU dot with the constant ±1 map
+    # _HIST_MAP both assembles the 33 bins and lands them as (34, B)
+    # PLANES (row 33 passes the count through) — no relayout, and the
+    # downstream sweep-C operand wants planes anyway. Exact: every
+    # product is ±count (integers < 2^24), so bf16x6 HIGHEST reproduces
+    # the old subtract formulation bit for bit.
+    cumcat = jnp.concatenate([cum, cnt], axis=1)  # (B, 31)
+    hist_t = jax.lax.dot_general(
+        _hist_map_iota(), cumcat, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (34, B)
+    s = jnp.sum(hist_t[:33], axis=0, keepdims=True)  # (1, B) exact ints
+    norm = jnp.where(
+        s > 0, hist_t[:33] / jnp.maximum(s, 1e-30), hist_t[:33]
     )
+    out_ref[:] = jnp.concatenate(
+        [norm, hist_t[33:34], jnp.zeros((6, bsz), jnp.float32)], axis=0
+    )
+
+
+def _hist_map_iota():
+    """The (31, 34) ±1 map, built from 2-D iotas — Pallas kernels may not
+    capture array constants, and these few tiny vector compares fold away.
+
+    Column c = 11·ang + b (b = 0..10) is histogram bin b of angle ang;
+    rows 0-29 are the cumulative threshold counts (10 per angle), row 30
+    the total count. hist[0] = cnt − cum_0, hist[b] = cum_{b−1} − cum_b,
+    hist[10] = cum_9; column 33 passes the count through."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (31, 34), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (31, 34), 1)
+    ang = c // 11
+    b = c - ang * 11
+    base = 10 * ang
+    hist_col = c < 33
+    plus = (
+        (hist_col & (b >= 1) & (r == base + b - 1))
+        | (hist_col & (b == 0) & (r == 30))
+        | ((c == 33) & (r == 30))
+    )
+    minus = hist_col & (b <= 9) & (r == base + b)
+    return jnp.where(plus, 1.0, jnp.where(minus, -1.0, 0.0))
 
 
 @functools.partial(
@@ -266,10 +345,12 @@ def _spfh_kernel(lo_ref, len_ref, scal_ref, q_ref, packed, out_ref,
 )
 def spfh_sweep_pallas(q8, packed6, lo, ln, r2, block=256, sub=512,
                       interpret=False, vmem="auto"):
-    """Returns (Np, 32): [cum_alpha(10) | cum_phi(10) | cum_theta(10) |
-    count | pad]."""
-    return _run_sweep(_spfh_kernel, q8, packed6, lo, ln, (r2,), 32,
-                      block, sub, interpret, vmem)
+    """Returns (40, Np) PLANES: rows 0-32 the L1-NORMALIZED SPFH
+    histogram, row 33 the neighbor count, 34-39 pad — assembly,
+    normalization and the plane transpose all run in-kernel (see
+    _spfh_kernel)."""
+    return _run_sweep(_spfh_kernel, q8, packed6, lo, ln, (r2,), 40,
+                      block, sub, interpret, vmem, transposed_out=True)
 
 
 # --------------------------------------------------------------------------
@@ -319,7 +400,7 @@ def fpfh_sweep_pallas(q8, packed36, lo, ln, r2, block=256, sub=512,
 
 
 def _run_sweep(kernel, q8, packed, lo, ln, scalars, out_w, block, sub,
-               interpret, vmem="auto"):
+               interpret, vmem="auto", transposed_out=False):
     npad = q8.shape[1]
     nb = npad // block
     assert nb * block == npad, (npad, block)
@@ -352,8 +433,13 @@ def _run_sweep(kernel, q8, packed, lo, ln, scalars, out_w, block, sub,
             # (no DMA machinery at all), else HBM + the DMA window walk.
             pl.BlockSpec(memory_space=pltpu.VMEM if vmem else pl.ANY),
         ],
-        out_specs=pl.BlockSpec((block, out_w), lambda b, lo, ln: (b, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((out_w, block), lambda b, lo, ln: (0, b),
+                         memory_space=pltpu.VMEM)
+            if transposed_out
+            else pl.BlockSpec((block, out_w), lambda b, lo, ln: (b, 0),
+                              memory_space=pltpu.VMEM)
+        ),
         scratch_shapes=[
             # 4-deep DMA pipeline; in resident mode it is unused but kept
             # so the kernels read ``sub`` from cand.shape either way.
@@ -364,7 +450,10 @@ def _run_sweep(kernel, q8, packed, lo, ln, scalars, out_w, block, sub,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((npad, out_w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (out_w, npad) if transposed_out else (npad, out_w),
+            jnp.float32,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=int(npad) * 2048 * 60,
             bytes_accessed=int(npad) * 1024 * 4,

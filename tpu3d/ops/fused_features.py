@@ -61,7 +61,6 @@ import jax.numpy as jnp
 
 from tpu3d.ops.normals import (
     smallest_eigvec_3x3,
-    smallest_eigvec_3x3_planes,
 )
 from tpu3d.ops.slab2 import block_windows, build_slab2
 from tpu3d.types import FPFHFeatures, PointCloud
@@ -265,33 +264,18 @@ def _pallas_prepare(cloud, r, r2, block, sub, interpret, nq=None):
     q8 = jnp.concatenate(
         [pts_t, mrow, jnp.zeros((4, mp), jnp.float32)], axis=0
     )
-    # Sweep A: moments -> covariance -> PCA normal, all plane-wise
-    # ((N, 3, 3)/(N, 9) layouts waste 125/128 lanes — see
-    # smallest_eigvec_3x3_planes).
-    momout = moments_sweep_pallas(
+    # Sweep A: moments -> covariance -> PCA normal -> viewpoint flip, ALL
+    # in-kernel (transposed (10, B) accumulators + trig-free Newton
+    # Cardano — see features_pallas._moments_kernel). The epilogue cost
+    # scales with the swept blocks, not the padded cloud: in sparse mode
+    # rows outside the A-set get an arbitrary zero-covariance
+    # eigenvector — finite, and never read (sweep B's windows only reach
+    # A-set rows by construction).
+    nrm8 = moments_sweep_pallas(
         q8, pts_t, lo, len_a, r2, block=block, sub=sub,
         interpret=interpret,
-    )
-    cnt = jnp.maximum(momout[:, 9], 1.0)
-    mx, my, mz = (momout[:, k] / cnt for k in (0, 1, 2))
-    c00 = momout[:, 3] / cnt - mx * mx
-    c11 = momout[:, 4] / cnt - my * my
-    c22 = momout[:, 5] / cnt - mz * mz
-    c01 = momout[:, 6] / cnt - mx * my
-    c02 = momout[:, 7] / cnt - mx * mz
-    c12 = momout[:, 8] / cnt - my * mz
-    nx, ny, nz = smallest_eigvec_3x3_planes(c00, c01, c02, c11, c12, c22)
-    # Flip toward the viewpoint/origin (plane-wise), and zero
-    # invalid/padding rows (their covariance is zeros -> NaN-free
-    # planes; the final scatter re-masks by cloud.mask anyway). In sparse
-    # mode, rows outside the A-set get an arbitrary zero-covariance
-    # eigenvector — finite, and never read: sweep B's windows only reach
-    # A-set rows by construction.
-    flip = nx * pts_t[0] + ny * pts_t[1] + nz * pts_t[2] > 0
-    sgn = jnp.where(
-        al.valid_padded, jnp.where(flip, -1.0, 1.0), 0.0
-    )
-    nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+    )  # (8, Mp): rows 0-2 flipped unit normals, zeroed on invalid rows
+    nx, ny, nz = nrm8[0], nrm8[1], nrm8[2]
     # Sweep B: packed [coords | b=p×n | n | a=p·n]; queries carry
     # their normal (b_i/a_i are rebuilt in-kernel from those — cheap
     # per-block, while the candidate side is per-PAIR work saved).
@@ -331,22 +315,19 @@ def _pallas_prepare(cloud, r, r2, block, sub, interpret, nq=None):
         [cpts_t, mrow, nrm_t, jnp.zeros((1, mp), jnp.float32)],
         axis=0,
     )
-    spfhout = spfh_sweep_pallas(
+    spfh40 = spfh_sweep_pallas(
         q8n, packed_b, lo, len_b, r2, block=block, sub=sub,
         interpret=interpret,
-    )
-    spfh_padded = _hist_from_cums(spfhout[:, :30], spfhout[:, 30])
-    # Sweep C: packed (coords | SPFH planes).
-    packed_c = jnp.concatenate(
-        [pts_t, spfh_padded.T], axis=0
-    )  # (36, Mp)
+    )  # (40, Mp) PLANES: rows 0-32 normalized SPFH (in-kernel assembly)
+    spfh_planes = spfh40[:33]
+    # Sweep C: packed (coords | SPFH planes) — spfh is already
+    # plane-major straight out of the kernel (the former (Mp, 33)
+    # assembly + .T cost ~1.2 ms at 100k, benchmarks/profile_glue2.py).
+    packed_c = jnp.concatenate([pts_t, spfh_planes], axis=0)  # (36, Mp)
     wsum = fpfh_sweep_pallas(
         q8, packed_c, lo, len_c, r2, block=block, sub=sub,
         interpret=interpret,
     )[:, :33]
-    f = spfh_padded + wsum
-    sf = jnp.sum(f, axis=1, keepdims=True)
-    fpfh_padded = jnp.where(sf > 0, f / jnp.maximum(sf, 1e-30), f)
 
     if nq is not None:
         # Subset rows of the Q blocks — runs are an arithmetic block
@@ -376,7 +357,17 @@ def _pallas_prepare(cloud, r, r2, block, sub, interpret, nq=None):
             .reshape(3, nq * block).T
         )
         sub_mask = pick_rows_1d(al.valid_padded)
-        sub_desc = pick_rows(fpfh_padded)
+        # FPFH = own SPFH + weighted neighbor sum, combined and normalized
+        # ONLY on the Q-subset rows (the full-Mp combine would be pure
+        # waste here — nothing outside Q is returned).
+        sub_spfh = (
+            spfh_planes.reshape(33, nbk, block)[:, :take]
+            .reshape(33, nruns, run_stride, block)[:, :, :q_run]
+            .reshape(33, nq * block).T
+        )  # (nq*block, 33) — tiny transpose
+        f = sub_spfh + pick_rows(wsum)
+        sf = jnp.sum(f, axis=1, keepdims=True)
+        sub_desc = jnp.where(sf > 0, f / jnp.maximum(sf, 1e-30), f)
         sub_orig = pick_rows_1d(al.padded_orig)
         sub_pts = jnp.where(sub_mask[:, None], sub_pts, 0.0)
         sub_desc = jnp.where(sub_mask[:, None], sub_desc, 0.0)
@@ -386,10 +377,14 @@ def _pallas_prepare(cloud, r, r2, block, sub, interpret, nq=None):
             sub_orig,
         )
 
-    # Back to original row order: padded_orig is a permutation plus
-    # unique out-of-bounds values on padding rows — one scatter with
-    # OOB drop, no extra sort.
-    normals_padded = jnp.stack([nx, ny, nz], axis=1)  # (Mp, 3)
+    # Dense mode: combine + normalize over all padded rows (one (33, Mp)
+    # transpose — dense is the off-headline path), then back to original
+    # row order: padded_orig is a permutation plus unique out-of-bounds
+    # values on padding rows — one scatter with OOB drop, no extra sort.
+    f = spfh_planes.T + wsum
+    sf = jnp.sum(f, axis=1, keepdims=True)
+    fpfh_padded = jnp.where(sf > 0, f / jnp.maximum(sf, 1e-30), f)
+    normals_padded = nrm8[:3].T  # (Mp, 3)
     normals = (
         jnp.zeros((n, 3), jnp.float32)
         .at[al.padded_orig].set(

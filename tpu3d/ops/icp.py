@@ -105,6 +105,40 @@ class IcpStats(NamedTuple):
     sum_d2: jnp.ndarray
 
 
+def _solve_spd6(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """x = A⁻¹ b for a symmetric positive-(semi)definite 6x6 — unrolled
+    scalar Cholesky + two substitutions (~90 scalar ops). The generic
+    ``jnp.linalg.solve`` lowers to LU with pivoting (gathers + control
+    flow) which costs real fractions of a millisecond PER CALL on a TPU,
+    and this runs once per ICP iteration inside the while_loop. JtJ here
+    is A = ΣJJᵀ, always SPD when the matches span 6 DoF; rank-deficient
+    systems produce inf/nan exactly like LU did, and icp_loop's finite
+    guard keeps the last finite pose either way."""
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][i] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * 6
+    for i in range(6):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def icp_loop(
     stats_fn: Callable[[jnp.ndarray], IcpStats],
     n_valid: jnp.ndarray,
@@ -119,7 +153,7 @@ def icp_loop(
         s = stats_fn(T)
 
         if point_to_plane:
-            x = jnp.linalg.solve(s.ata, -s.atb[:, None])[:, 0]
+            x = _solve_spd6(s.ata, -s.atb)
             delta = make_transform(euler_xyz_to_matrix(x[:3]), x[3:])
         else:
             R, t = kabsch_from_cross_cov(s.sw, s.sp, s.sq, s.H)
