@@ -1,0 +1,105 @@
+"""In-context stage decomposition with the HEADLINE methodology.
+
+Isolated stage timings (profile_*.py) disagree with the K-in-one-dispatch
+bench — per-dispatch overheads and XLA fusion differ. This measures stage
+PREFIXES of bench.py's exact full_pair inside the same K-iteration
+fori_loop with per-iteration input perturbation; adjacent deltas are the
+true in-context stage costs. Run on the TPU:
+  python benchmarks/bench_stages.py        (TPU3D_BENCH_K to override K)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from bench import bench_caps, make_pair  # noqa: E402
+from tpu3d.ops.fused_features import (  # noqa: E402
+    fused_prepare_features,
+    fused_prepare_sparse,
+)
+from tpu3d.ops.icp import build_icp_target, icp_refine  # noqa: E402
+from tpu3d.ops.ransac import (  # noqa: E402
+    feature_correspondences,
+    ransac_registration,
+)
+from tpu3d.types import FPFHFeatures, PointCloud  # noqa: E402
+from tpu3d.utils.timing import roundtrip_ms  # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    n = int(os.environ.get("TPU3D_BENCH_N", "100352"))
+    K = int(os.environ.get("TPU3D_BENCH_K", "10"))
+    ransac_iters = 100000
+    corr_cap, src_cap = bench_caps()
+    voxel = 0.002
+    src_np, tgt_np, _, _ = make_pair(n)
+    tgt, tgt_feat = fused_prepare_features(
+        PointCloud.from_numpy(tgt_np, capacity=n), jnp.float32(voxel * 5)
+    )
+    tgt_index = jax.jit(build_icp_target)(tgt)
+    src = PointCloud.from_numpy(src_np, capacity=n)
+
+    def stage_fn(stage):
+        def fn(src_pts, src_mask):
+            source = PointCloud(points=src_pts, mask=src_mask)
+            sub_c, sub_f, _ = fused_prepare_sparse(
+                source, jnp.float32(voxel * 5), corr_cap=corr_cap
+            )
+            if stage == "prepare":
+                return (
+                    jnp.sum(sub_f.descriptors) + jnp.sum(sub_c.points)
+                )
+            if stage == "nn":
+                corr = feature_correspondences(sub_f, tgt_feat)
+                return jnp.sum(corr.astype(jnp.float32))
+            coarse = ransac_registration(
+                sub_c, tgt, sub_f, tgt_feat, voxel,
+                max_iterations=ransac_iters, corr_mode="exact",
+            )
+            if stage == "ransac":
+                return jnp.sum(coarse.transformation) + coarse.fitness
+            refined = icp_refine(
+                source, tgt, coarse.transformation, voxel * 0.4,
+                max_iterations=200, point_to_plane=True,
+                target_index=tgt_index, src_cap=src_cap,
+            )
+            return jnp.sum(refined.transformation) + refined.fitness
+
+        def k_loop(p, m):
+            def body(i, acc):
+                pi = p + (jnp.float32(1e-7) * (i + 1))
+                return acc + fn(pi, m)
+
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+        return jax.jit(k_loop)
+
+    rt = roundtrip_ms() / 1000.0
+    prev = 0.0
+    for stage in ("prepare", "nn", "ransac", "icp"):
+        f = stage_fn(stage)
+        float(f(src.points, src.mask))  # compile
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(src.points, src.mask))
+            ts.append(time.perf_counter() - t0)
+        ms = max((min(ts) - rt) / K, 0.0) * 1000.0
+        log(f"thru {stage:8s} {ms:7.2f} ms/pair  (delta {ms - prev:+6.2f})")
+        prev = ms
+
+
+if __name__ == "__main__":
+    main()

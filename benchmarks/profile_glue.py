@@ -35,7 +35,6 @@ from tpu3d.ops.slab2 import (  # noqa: E402
     build_slab2_aligned,
 )
 from tpu3d.types import PointCloud  # noqa: E402
-from tpu3d.utils.timing import device_timeit  # noqa: E402
 
 
 def log(*a):
@@ -188,13 +187,18 @@ def make_prefix(stop: str, r, block, sub, nq, max_buckets):
 
 
 STAGES = [
-    "build", "windows", "members", "sweepA", "eigvec", "packb",
-    "sweepB", "hist", "packc", "sweepC", "all",
+    "build", "windows", "members", "sweepA", "packb",
+    "sweepB", "packc", "sweepC", "all",
 ]
 
 
 def main():
+    import time
+
+    from tpu3d.utils.timing import roundtrip_ms
+
     n = int(os.environ.get("TPU3D_PROF_N", "100352"))
+    K = int(os.environ.get("TPU3D_BENCH_K", "10"))
     voxel = 0.002
     src_np, _, _, _ = make_pair(n)
     src = PointCloud.from_numpy(src_np, capacity=n)
@@ -204,12 +208,34 @@ def main():
     nq = max(1, corr_cap // block)
     max_buckets = 128 if n <= (1 << 18) else 512
 
-    log(f"backend={jax.default_backend()} n={n} corr_cap={corr_cap}")
+    log(f"backend={jax.default_backend()} n={n} corr_cap={corr_cap} K={K}")
+    rt = roundtrip_ms() / 1000.0
     prev = 0.0
     for stop in STAGES:
         fn = make_prefix(stop, r, block, sub, nq, max_buckets)
-        res = device_timeit(fn, src.points, src.mask, iters=3)
-        ms = res["best_net_ms"]
+
+        # HEADLINE methodology: K invocations inside one fori_loop with
+        # per-iteration input perturbation (bench.py k_pairs) — isolated
+        # per-dispatch timings disagree with the in-context costs.
+        def k_loop(p, m, fn=fn):
+            def body(i, acc):
+                pi = p + (jnp.float32(1e-7) * (i + 1))
+                out = fn(pi, m)
+                s = jnp.float32(0.0)
+                for leaf in jax.tree.leaves(out):
+                    s = s + jnp.sum(leaf).astype(jnp.float32)
+                return acc + s
+
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+        jf = jax.jit(k_loop)
+        float(jf(src.points, src.mask))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jf(src.points, src.mask))
+            ts.append(time.perf_counter() - t0)
+        ms = max((min(ts) - rt) / K, 0.0) * 1000.0
         log(f"prefix thru {stop:8s} {ms:8.2f} ms   (delta {ms - prev:+6.2f})")
         prev = ms
 
