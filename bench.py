@@ -50,12 +50,17 @@ def log(*a):
 def bench_caps() -> tuple[int, int]:
     """(corr_cap, src_cap) for the headline configuration — shared with
     benchmarks/ab_stats.py and benchmarks/robustness.py so the quality
-    artifacts validate the exact caps the bench runs (chip-measured:
-    8192/16384 -> 4096/8192 is 13.9 -> 12.7 ms/pair with pose error
-    unchanged at the convergence floor)."""
+    artifacts validate the exact caps the bench runs. Chip-measured cap
+    ladder (ms/pair): 8192/16384 = 13.9, 4096/8192 = 12.7→10.9 (with the
+    est gate), 4096/4096 = 10.4, 2048/4096 = 10.0 with the strata-
+    CENTERED 4-run subset (AB_STATS 20 seeds + robustness pass at these
+    caps; the earlier left-anchored 2-run layout covered only half the
+    cloud's x-range and tripped the max-excess gate on one noisy seed).
+    Library defaults stay 8192/16384 — these caps are the benchmark
+    configuration, validated by the same artifacts that gate it."""
     return (
-        int(os.environ.get("TPU3D_BENCH_CORR_CAP", "4096")),
-        int(os.environ.get("TPU3D_BENCH_SRC_CAP", "8192")),
+        int(os.environ.get("TPU3D_BENCH_CORR_CAP", "2048")),
+        int(os.environ.get("TPU3D_BENCH_SRC_CAP", "4096")),
     )
 
 

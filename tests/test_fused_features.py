@@ -127,7 +127,11 @@ def test_sparse_prepare_matches_dense_bit_exact(rng):
     sc, sf, sorig = fused_prepare_sparse(cloud, r, corr_cap=1024,
                                          interpret=True)
     sm = np.asarray(sf.mask)
-    assert sm.sum() > 200  # subset is non-trivial
+    # Non-trivial subset: at 4k points the aligned layout is ~80% bucket
+    # padding (avg ~25 valid rows per 128-row block), so 8 Q-blocks carry
+    # ~200 valid rows; the exact count depends on where the strata-
+    # centered runs land.
+    assert sm.sum() > 150
     rows = np.asarray(sorig)[sm]
     np.testing.assert_array_equal(
         np.asarray(sf.descriptors)[sm], np.asarray(df.descriptors)[rows]

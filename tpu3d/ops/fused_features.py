@@ -222,13 +222,27 @@ def _pallas_prepare(cloud, r, r2, block, sub, interpret, nq=None):
         # (+1 at the window's first block, −1 after its last, cumsum > 0)
         # — windows are contiguous row ranges, so this is exact.
         nq = min(nq, nbk)
-        q_run = min(8, nq)
+        # At least 4 runs when the budget allows, and runs CENTERED in
+        # their strata: left-anchored runs at stride nbk/nruns leave the
+        # top half-stride of the sorted block space (the high-x tail of
+        # the cloud) with no queries at all — measured at corr_cap=2048
+        # (2 runs), the subset covered x ∈ [min, mid] only, a weak
+        # baseline for the 3-point pose under noise (the AB max-excess
+        # seed). Four centered runs cap the largest uncovered gap at
+        # ~25% of the sorted space from either side.
+        q_run = min(8, max(1, nq // 4))
         nruns = max(1, nq // q_run)
         run_stride = max(q_run, nbk // nruns)
         nq = nruns * q_run  # whole runs only
+        start0 = min(
+            (run_stride - q_run) // 2,
+            max(0, nbk - ((nruns - 1) * run_stride + q_run)),
+        )  # center, clamped so the last run stays in bounds
         take_ids = (
-            np.arange(nruns)[:, None] * run_stride + np.arange(q_run)[None]
-        ).ravel()  # all < nbk: nruns*run_stride <= nbk by construction
+            start0
+            + np.arange(nruns)[:, None] * run_stride
+            + np.arange(q_run)[None]
+        ).ravel()
         qmask_np = np.zeros((nbk,), bool)
         qmask_np[take_ids] = True
         qmask = jnp.asarray(qmask_np)
@@ -330,41 +344,42 @@ def _pallas_prepare(cloud, r, r2, block, sub, interpret, nq=None):
     )[:, :33]
 
     if nq is not None:
-        # Subset rows of the Q blocks — runs are an arithmetic block
-        # progression, so extraction is slice → reshape → slice (~free on
-        # TPU), never a gather (a random 8k-row gather costs real ms).
-        # Padding rows inside Q blocks stay masked out.
-        take = nruns * run_stride
+        # Subset rows of the Q blocks — nruns (≤ 8, static) contiguous
+        # runs, each one STATIC slice of q_run blocks, concatenated (~free
+        # copies on TPU), never a gather (a random 8k-row gather costs
+        # real ms). The slices MUST use the same run_starts the member
+        # sets marked — extraction and computation have to pick identical
+        # blocks. Padding rows inside Q blocks stay masked out.
+        run_starts = [
+            int(start0 + i * run_stride) for i in range(nruns)
+        ]
 
         def pick_rows(x2d):  # (Mp, W) -> (nq*block, W)
             w = x2d.shape[1]
-            return (
-                x2d.reshape(nbk, block, w)[:take]
-                .reshape(nruns, run_stride, block, w)[:, :q_run]
-                .reshape(nq * block, w)
-            )
+            xb = x2d.reshape(nbk, block, w)
+            return jnp.concatenate(
+                [xb[s: s + q_run] for s in run_starts], axis=0
+            ).reshape(nq * block, w)
 
         def pick_rows_1d(x1d):  # (Mp,) -> (nq*block,)
-            return (
-                x1d.reshape(nbk, block)[:take]
-                .reshape(nruns, run_stride, block)[:, :q_run]
-                .reshape(nq * block)
-            )
+            xb = x1d.reshape(nbk, block)
+            return jnp.concatenate(
+                [xb[s: s + q_run] for s in run_starts], axis=0
+            ).reshape(nq * block)
 
-        sub_pts = (
-            pts_t.reshape(3, nbk, block)[:, :take]
-            .reshape(3, nruns, run_stride, block)[:, :, :q_run]
-            .reshape(3, nq * block).T
-        )
+        def pick_cols(xp):  # (W, Mp) -> (nq*block, W)
+            w = xp.shape[0]
+            xb = xp.reshape(w, nbk, block)
+            return jnp.concatenate(
+                [xb[:, s: s + q_run] for s in run_starts], axis=1
+            ).reshape(w, nq * block).T
+
+        sub_pts = pick_cols(pts_t)
         sub_mask = pick_rows_1d(al.valid_padded)
         # FPFH = own SPFH + weighted neighbor sum, combined and normalized
         # ONLY on the Q-subset rows (the full-Mp combine would be pure
         # waste here — nothing outside Q is returned).
-        sub_spfh = (
-            spfh_planes.reshape(33, nbk, block)[:, :take]
-            .reshape(33, nruns, run_stride, block)[:, :, :q_run]
-            .reshape(33, nq * block).T
-        )  # (nq*block, 33) — tiny transpose
+        sub_spfh = pick_cols(spfh_planes)  # (nq*block, 33) tiny transpose
         f = sub_spfh + pick_rows(wsum)
         sf = jnp.sum(f, axis=1, keepdims=True)
         sub_desc = jnp.where(sf > 0, f / jnp.maximum(sf, 1e-30), f)
