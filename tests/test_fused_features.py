@@ -108,9 +108,13 @@ def test_fused_registration_end_to_end(rng):
 
 def test_sparse_prepare_matches_dense_bit_exact(rng):
     """Every descriptor the sparse path returns must be IDENTICAL to the
-    dense Pallas path's value for the same row — sparsity only zeroes
-    window lengths of blocks outside the dependency sets, it never changes
-    what a member block computes."""
+    dense Pallas path's value for the same row AT THE SAME (block, sub) —
+    sparsity only zeroes window lengths of blocks outside the dependency
+    sets, it never changes what a member block computes. (Different block
+    sizes legitimately differ by bin-boundary flips: the shared
+    block-center origin changes, and angle values on a bin threshold move
+    one bin — mass 1/count per flip, the documented boundary-noise
+    class.)"""
     from tpu3d.ops.fused_features import fused_prepare_sparse
 
     pts = _surface(rng, 4000)
@@ -121,24 +125,25 @@ def test_sparse_prepare_matches_dense_bit_exact(rng):
         points=jnp.asarray(np.vstack([pts, pad])), mask=jnp.asarray(mask)
     )
     r = jnp.float32(0.02)
-    _, df = fused_prepare_features(
-        cloud, r, engine="pallas", interpret=True
-    )
-    sc, sf, sorig = fused_prepare_sparse(cloud, r, corr_cap=1024,
-                                         interpret=True)
-    sm = np.asarray(sf.mask)
-    # Non-trivial subset: at 4k points the aligned layout is ~80% bucket
-    # padding (avg ~25 valid rows per 128-row block), so 8 Q-blocks carry
-    # ~200 valid rows; the exact count depends on where the strata-
-    # centered runs land.
-    assert sm.sum() > 150
-    rows = np.asarray(sorig)[sm]
-    np.testing.assert_array_equal(
-        np.asarray(sf.descriptors)[sm], np.asarray(df.descriptors)[rows]
-    )
-    np.testing.assert_array_equal(
-        np.asarray(sc.points)[sm], np.asarray(cloud.points)[rows]
-    )
+    for block in (128, 256):
+        _, df = fused_prepare_features(
+            cloud, r, engine="pallas", interpret=True, block=block, sub=256
+        )
+        sc, sf, sorig = fused_prepare_sparse(
+            cloud, r, corr_cap=1024, interpret=True, block=block, sub=256
+        )
+        sm = np.asarray(sf.mask)
+        # Non-trivial subset: at 4k points the aligned layout is ~80%
+        # bucket padding, so the Q-blocks carry a few hundred valid rows;
+        # the exact count depends on where the strata-centered runs land.
+        assert sm.sum() > 150, (block, sm.sum())
+        rows = np.asarray(sorig)[sm]
+        np.testing.assert_array_equal(
+            np.asarray(sf.descriptors)[sm], np.asarray(df.descriptors)[rows]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sc.points)[sm], np.asarray(cloud.points)[rows]
+        )
 
 
 def test_sparse_prepare_exact_on_degenerate_x(rng):

@@ -428,7 +428,7 @@ def fused_prepare_sparse(
     cloud: PointCloud,
     radius,
     corr_cap: int = 8192,
-    block: int = 128,
+    block: int = 256,
     sub: int = 256,
     interpret: bool = False,
 ) -> tuple[PointCloud, FPFHFeatures, jnp.ndarray]:
@@ -442,9 +442,11 @@ def fused_prepare_sparse(
 
       (subset PointCloud view, subset FPFHFeatures, subset original rows)
 
-    Every returned descriptor is EXACT (identical bits to the dense path's
-    value for the same row — tests/test_fused_features.py asserts this,
-    including on degenerate-x clouds). The subset view is spatially
+    Every returned descriptor is EXACT (identical bits to the dense
+    path's value for the same row at the same ``(block, sub)`` —
+    tests/test_fused_features.py asserts this, including on degenerate-x
+    clouds; different block sizes differ only by bin-boundary flips,
+    since the shared block-center origin moves). The subset view is spatially
     stratified: blocks of the bucket-aligned layout are small (bucket, y)
     patches, strided uniformly across the sorted row space. Pass the view
     directly to ``ransac_registration(..., corr_mode='exact')`` — its
@@ -453,6 +455,12 @@ def fused_prepare_sparse(
 
     Pallas-engine only (TPU, or interpret=True for tests) — callers gate
     on ``on_tpu()`` like fused_prepare_features's engine='auto' does.
+
+    ``block=256`` (not the dense path's 128): the sparse regime is
+    per-window fixed-cost bound (most windows fit one sub-tile), and
+    doubling the query block halves the live window count — chip-measured
+    5.27 -> 4.90 ms at the bench shape (benchmarks/sweep_sparse_block.py);
+    512 exceeds VMEM with the resident operand.
     """
     r = jnp.asarray(radius, jnp.float32)
     nq = max(1, corr_cap // block)

@@ -247,8 +247,16 @@ def ransac_registration(
     n = source.capacity
     key = jax.random.PRNGKey(seed)
     if hyp_chunk == "auto":
-        half = -(-max_iterations // 2)
-        hyp_chunk = max(16384, (half + 1023) // 1024 * 1024)
+        # Four chunks (min 16384): easy scenes exceed the confidence in
+        # chunk 1, so the early exit pays for ONE chunk and a smaller
+        # chunk is direct savings there (chip sweep at the bench shape:
+        # 2 chunks 9.89 ms/pair end-to-end, 4 chunks 9.50, flat below —
+        # per-chunk fixed cost takes over; benchmarks/sweep_hyp_chunk.py).
+        # Exhaustive (noisy) scenes pay ~2 more chunk fixed costs than
+        # the old 2-chunk target — the cheaper side of that trade since
+        # the rotation sampler removed the per-chunk gather.
+        quarter = -(-max_iterations // 4)
+        hyp_chunk = max(16384, (quarter + 1023) // 1024 * 1024)
 
     src_pts = source.points
     src_mask = source.mask
