@@ -288,23 +288,27 @@ def main():
     # in the quotient at all.
     K = int(os.environ.get("TPU3D_BENCH_K", "10"))
 
-    def k_pairs(p, m):
+    def k_pairs(p, m, rep_jitter):
         def body(i, acc):
             # 0.1 µm jitter: numerically invisible to registration (the
             # ICP convergence tolerance is 1e-6 m of rmse), but makes
             # every iteration's trace inputs distinct values.
-            pi = p + (jnp.float32(1e-7) * (i + 1))
+            pi = p + (jnp.float32(1e-7) * (i + 1) + rep_jitter)
             T, fit, _ = full_pair(pi, m)
             return acc + jnp.sum(T) + fit
 
         return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
 
+    # rep_jitter varies the ARGS per timed rep: the tunnel RPC layer
+    # caches identical program+args executions (BENCH_NOTES), and a
+    # scalar arg is enough to defeat it without a 1.2 MB re-upload.
     sync_k = jax.jit(k_pairs)
-    float(sync_k(src_cloud.points, src_cloud.mask))  # compile
+    float(sync_k(src_cloud.points, src_cloud.mask, jnp.float32(0.0)))
     k_times = []
-    for _ in range(3):
+    for r in range(3):
+        jit_r = jnp.float32(1e-7 * (r + 1) * K)
         t0 = time.perf_counter()
-        float(sync_k(src_cloud.points, src_cloud.mask))
+        float(sync_k(src_cloud.points, src_cloud.mask, jit_r))
         k_times.append(time.perf_counter() - t0)
     pair_s = max((min(k_times) - rt) / K, 1e-9)
     log(
@@ -319,9 +323,8 @@ def main():
     log(f"cpu reference (extrapolated oracle): {cpu['cpu_pair_seconds']:.0f}s"
         f" → speedup {speedup:.0f}x; quality_ok={quality_ok}")
 
-    if os.environ.get("TPU3D_BENCH_EXTRAS") == "1":
-        run_extras(log)
-
+    # Headline JSON BEFORE extras: the extras recompile multi-minute 1M
+    # programs and a timeout there must not lose the metric.
     print(
         json.dumps(
             {
@@ -330,8 +333,12 @@ def main():
                 "unit": "pairs/s",
                 "vs_baseline": round(speedup, 1),
             }
-        )
+        ),
+        flush=True,
     )
+
+    if os.environ.get("TPU3D_BENCH_EXTRAS") == "1":
+        run_extras(log)
 
 
 def run_extras(log):

@@ -77,9 +77,9 @@ def main():
             )
             return jnp.sum(refined.transformation) + refined.fitness
 
-        def k_loop(p, m):
+        def k_loop(p, m, rep_jitter):
             def body(i, acc):
-                pi = p + (jnp.float32(1e-7) * (i + 1))
+                pi = p + (jnp.float32(1e-7) * (i + 1) + rep_jitter)
                 return acc + fn(pi, m)
 
             return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
@@ -90,11 +90,13 @@ def main():
     prev = 0.0
     for stage in ("prepare", "nn", "ransac", "icp"):
         f = stage_fn(stage)
-        float(f(src.points, src.mask))  # compile
+        float(f(src.points, src.mask, jnp.float32(0.0)))  # compile
         ts = []
-        for _ in range(3):
+        for r in range(3):
+            # vary args per rep — the tunnel caches identical
+            # program+args executions (BENCH_NOTES)
             t0 = time.perf_counter()
-            float(f(src.points, src.mask))
+            float(f(src.points, src.mask, jnp.float32(1e-7 * (r + 1) * K)))
             ts.append(time.perf_counter() - t0)
         ms = max((min(ts) - rt) / K, 0.0) * 1000.0
         log(f"thru {stage:8s} {ms:7.2f} ms/pair  (delta {ms - prev:+6.2f})")

@@ -217,9 +217,9 @@ def main():
         # HEADLINE methodology: K invocations inside one fori_loop with
         # per-iteration input perturbation (bench.py k_pairs) — isolated
         # per-dispatch timings disagree with the in-context costs.
-        def k_loop(p, m, fn=fn):
+        def k_loop(p, m, rep_jitter, fn=fn):
             def body(i, acc):
-                pi = p + (jnp.float32(1e-7) * (i + 1))
+                pi = p + (jnp.float32(1e-7) * (i + 1) + rep_jitter)
                 out = fn(pi, m)
                 s = jnp.float32(0.0)
                 for leaf in jax.tree.leaves(out):
@@ -229,11 +229,13 @@ def main():
             return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
 
         jf = jax.jit(k_loop)
-        float(jf(src.points, src.mask))
+        float(jf(src.points, src.mask, jnp.float32(0.0)))
         ts = []
-        for _ in range(3):
+        for r in range(3):
+            # vary args per rep — the tunnel caches identical
+            # program+args executions (BENCH_NOTES)
             t0 = time.perf_counter()
-            float(jf(src.points, src.mask))
+            float(jf(src.points, src.mask, jnp.float32(1e-7 * (r + 1) * K)))
             ts.append(time.perf_counter() - t0)
         ms = max((min(ts) - rt) / K, 0.0) * 1000.0
         log(f"prefix thru {stop:8s} {ms:8.2f} ms   (delta {ms - prev:+6.2f})")

@@ -52,9 +52,9 @@ def main():
         f" K={K}")
 
     for hyp_chunk in (50176, 25088, 12544, 6272):
-        def k_loop(p, m, hyp_chunk=hyp_chunk):
+        def k_loop(p, m, rep_jitter, hyp_chunk=hyp_chunk):
             def body(i, acc):
-                pi = p + (jnp.float32(1e-7) * (i + 1))
+                pi = p + (jnp.float32(1e-7) * (i + 1) + rep_jitter)
                 source = PointCloud(points=pi, mask=m)
                 sub_c, sub_f, _ = fused_prepare_sparse(
                     source, jnp.float32(voxel * 5), corr_cap=corr_cap
@@ -76,11 +76,13 @@ def main():
             return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
 
         jf = jax.jit(k_loop)
-        float(jf(src.points, src.mask))
+        float(jf(src.points, src.mask, jnp.float32(0.0)))
         ts = []
-        for _ in range(3):
+        for r in range(3):
+            # vary args per rep — the tunnel caches identical
+            # program+args executions (BENCH_NOTES)
             t0 = time.perf_counter()
-            float(jf(src.points, src.mask))
+            float(jf(src.points, src.mask, jnp.float32(1e-7 * (r + 1) * K)))
             ts.append(time.perf_counter() - t0)
         ms = max((min(ts) - rt) / K, 0.0) * 1000.0
         log(f"hyp_chunk={hyp_chunk:6d}  {ms:7.2f} ms/pair")

@@ -41,9 +41,9 @@ def main():
     log(f"backend={jax.default_backend()} n={n} corr_cap={corr_cap} K={K}")
 
     for block, sub in ((128, 256), (256, 256), (256, 512), (512, 512)):
-        def k_loop(p, m, block=block, sub=sub):
+        def k_loop(p, m, rep_jitter, block=block, sub=sub):
             def body(i, acc):
-                pi = p + (jnp.float32(1e-7) * (i + 1))
+                pi = p + (jnp.float32(1e-7) * (i + 1) + rep_jitter)
                 c, f, _ = fused_prepare_sparse(
                     PointCloud(points=pi, mask=m),
                     jnp.float32(voxel * 5), corr_cap=corr_cap,
@@ -55,11 +55,14 @@ def main():
 
         try:
             jf = jax.jit(k_loop)
-            float(jf(src.points, src.mask))
+            float(jf(src.points, src.mask, jnp.float32(0.0)))
             ts = []
-            for _ in range(3):
+            for r in range(3):
+                # vary args per rep — the tunnel caches identical
+                # program+args executions (BENCH_NOTES)
                 t0 = time.perf_counter()
-                float(jf(src.points, src.mask))
+                float(jf(src.points, src.mask,
+                         jnp.float32(1e-7 * (r + 1) * K)))
                 ts.append(time.perf_counter() - t0)
             ms = max((min(ts) - rt) / K, 0.0) * 1000.0
             log(f"block={block:4d} sub={sub:4d}  {ms:7.2f} ms/pair-prepare")

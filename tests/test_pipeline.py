@@ -237,6 +237,58 @@ def test_pipeline_batches_same_bucket_instances(tmp_path):
         np.testing.assert_allclose(T[:3, 3], 0.0, atol=0.02)
 
 
+def test_pipeline_prepare_mode_sparse_routing():
+    """registration.prepare_mode='sparse' must actually flow through the
+    pipeline (it is advertised in config/pipeline_config.yaml): prepare
+    returns a features-less marker (source descriptors are deferred to
+    registration time), _register_instances routes such instances through
+    the scalar path (the batch path stacks precomputed features), and the
+    registration completes with a finite pose."""
+    from tpu3d.registration import prepare_features
+
+    z, K = _bumpy_frame()
+    scale = 10000.0
+    depth_u16f = (z * scale).astype(np.float32)
+
+    cfg = _demo_config()
+    cfg.camera.width, cfg.camera.height = 240, 180
+    cfg.depth.scale_to_meters = scale
+    cfg.registration.voxel_size = 0.008
+    cfg.registration.prepare_mode = "sparse"
+    cfg.registration.ransac_max_iterations = 1500
+    cfg.registration.icp_max_iterations = 20
+    pipe = Pipeline(cfg, sleep_fn=lambda s: None)
+    # The run-wide descriptor mode a fused-scale reference model would
+    # set; sparse prepare is gated on it (subset descriptors are
+    # fused-class and must not mix with a gather-mode model).
+    pipe._neighbor_mode = "fused"
+
+    prep = pipe._prepare_instance_inner(None, depth_u16f, None, K, 0)
+    assert prep is not None
+    down, feats = prep
+    assert feats is None, "sparse prepare must defer descriptors"
+
+    # Self-registration: the reference model is the instance cloud itself.
+    ref_cloud, ref_features = prepare_features(
+        down, cfg.registration, "fused"
+    )
+    poses = pipe._register_instances(
+        [prep, prep], ref_cloud, ref_features
+    )
+    # Two same-capacity instances WOULD have batched on the dense path —
+    # the sparse marker must divert them to the scalar path instead.
+    assert pipe._batched_groups == 0
+    for pose in poses:
+        assert pose is not None, "sparse-path registration failed"
+        assert pose.shape == (4, 4) and np.all(np.isfinite(pose))
+
+    # Gate sanity: without the fused run-wide mode the knob stays inert
+    # (descriptor-class consistency beats the optimization).
+    pipe._neighbor_mode = "auto"
+    prep2 = pipe._prepare_instance_inner(None, depth_u16f, None, K, 1)
+    assert prep2 is not None and prep2[1] is not None
+
+
 def test_pipeline_icp_host_retry(monkeypatch):
     """Accelerator-stage ICP failure must retry on the host backend and
     still produce a pose (pipeline.cpp:114-121 parity)."""

@@ -351,6 +351,64 @@ def test_ransac_rotation_sampling_recovers_pose(rng):
     assert abs(results["rotation"] - results["gather"]) < 0.1
 
 
+def test_ransac_rotation_low_valid_fraction_full_budget(rng):
+    """Rotation sampling's while_loop bound must scale with the cloud's
+    VALID fraction: each chunk consumes only count-proportional iteration
+    ids, so a static bound silently under-delivers the max_iterations
+    budget whenever valid/capacity < 0.5 (e.g. sparse subset views that
+    are mostly bucket padding). 1500 valid rows in a 4096 capacity
+    (~37%) with no early exit exercises the dynamic-bound path end to
+    end — the pose must still be recovered."""
+    from tpu3d.ops.fused_features import fused_prepare_features
+
+    voxel = 0.006
+    src_pts, tgt_pts, R, t = _rigid_pair(rng, n=1500)
+    src, sf = fused_prepare_features(
+        PointCloud.from_numpy(src_pts, capacity=4096), jnp.float32(voxel * 5)
+    )
+    tgt, tf = fused_prepare_features(
+        PointCloud.from_numpy(tgt_pts, capacity=4096), jnp.float32(voxel * 5)
+    )
+    res = ransac_registration(
+        src, tgt, sf, tf, voxel, sampling="rotation", max_iterations=8192,
+        early_exit=True, hyp_chunk=4096, corr_mode="exact",
+        two_stage=False, confidence=2.0,  # never early-exits: full budget
+    )
+    T = np.asarray(res.transformation)
+    assert float(res.fitness) > 0.75, float(res.fitness)
+    np.testing.assert_allclose(T[:3, :3], R, atol=0.03)
+    np.testing.assert_allclose(T[:3, 3], t, atol=0.015)
+
+
+def test_ransac_rotation_count_below_3_returns_identity(rng):
+    """count < 3 cannot form a 3-point sample: rotation sampling must
+    return the reference's no-winner default (identity, fitness 0,
+    rmse 0) — and exit the chunk loop immediately rather than burning
+    ceil(max_iterations/count) all-disabled chunks."""
+    pts = np.zeros((2048, 3), np.float32)
+    pts[0] = [0.0, 0.0, 0.7]
+    pts[1] = [0.1, 0.0, 0.7]
+    mask = np.zeros((2048,), bool)
+    mask[:2] = True
+    cloud = PointCloud(points=jnp.asarray(pts), mask=jnp.asarray(mask))
+    feats = rng.uniform(size=(2048, 33)).astype(np.float32)
+    from tpu3d.types import FPFHFeatures
+
+    f = FPFHFeatures(
+        descriptors=jnp.asarray(feats), mask=jnp.asarray(mask)
+    )
+    res = ransac_registration(
+        cloud, cloud, f, f, 0.005, sampling="rotation",
+        max_iterations=65536, hyp_chunk=2048, early_exit=True,
+        corr_mode="exact", two_stage=False,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.transformation), np.eye(4, dtype=np.float32)
+    )
+    assert float(res.fitness) == 0.0
+    assert float(res.rmse) == 0.0
+
+
 def test_icp_source_subsample_matches_exact(rng):
     """src_mode='subsample' iterates on a strided source subset — the
     converged pose must agree with the exact run to ICP's tolerance."""

@@ -491,9 +491,11 @@ def fused_prepare_features(
     row order.
 
     ``k_windows``: static per-block candidate-window count for the slab2
-    index (see ops/slab2.py) — results are exact for ANY value ≥ 2 (extra
-    buckets merge into an un-trimmed overflow window); it only tunes how
-    much y-trimming applies. ``slice_cap`` is accepted for API
+    index (see ops/slab2.py) — XLA engine only; results are exact for ANY
+    value ≥ 2 (extra buckets merge into an un-trimmed overflow window); it
+    only tunes how much y-trimming applies. The Pallas engine IGNORES it:
+    the bucket-aligned layout pins every block inside one bucket, so there
+    are always exactly 3 windows. ``slice_cap`` is accepted for API
     compatibility and ignored (the sweeps are radius-exact unconditionally;
     ``return_overflow`` appends a constant-False scalar).
 

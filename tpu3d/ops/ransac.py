@@ -234,7 +234,8 @@ def ransac_registration(
     (duplicate rejection becomes structural) and every valid triple
     consumes exactly one iteration id (ids are a cumsum of valid rows,
     carried across chunks, so the max_iterations budget is delivered
-    exactly; the loop bound leaves 2x headroom for masked-out rows).
+    exactly; the loop bound scales with the cloud's valid fraction so
+    mostly-padding subset views still get the full budget).
     Within an epoch all triples share (r1, r2) — offsets are uniform
     over the compacted (spatially sorted) rows, so triples stay
     wide-baseline; the stream is a different RNG design from the
@@ -430,9 +431,24 @@ def ransac_registration(
     if use_chunked:
         # --- sequential-chunk evaluation with the reference's early exit ----
         n_chunks = -(-max_iterations // hyp_chunk)
-        # Rotation sampling delivers `count` (not hyp_chunk) iterations per
-        # chunk; 2x chunk headroom covers valid fractions >= 0.5.
-        n_chunks_bound = 2 * n_chunks if use_rotation else n_chunks
+        if use_rotation:
+            # Rotation sampling delivers `count`-proportional (not
+            # hyp_chunk) iterations per chunk — the SAME number every
+            # chunk (vv depends only on count): full epochs contribute
+            # `count` each, the truncated tail min(rem, count). Bound the
+            # loop by exactly the chunks needed to deliver the full
+            # max_iterations budget at the cloud's actual valid fraction
+            # (a static 2x headroom silently under-delivered hypotheses
+            # whenever the valid fraction was below 0.5 — e.g. sparse
+            # subset views that are mostly bucket padding).
+            cons = (hyp_chunk // n) * count + jnp.minimum(
+                hyp_chunk % n, count
+            )
+            n_chunks_bound = (
+                jnp.int32(max_iterations) + cons - 1
+            ) // jnp.maximum(cons, 1)
+        else:
+            n_chunks_bound = jnp.int32(n_chunks)
         max_it = jnp.int32(max_iterations)
         hyp_key = jax.random.fold_in(key, 7)
         id_w16 = jnp.concatenate(
@@ -535,10 +551,18 @@ def ransac_registration(
 
         def cond(state):
             c, fid, done = state[0], state[1], state[2]
-            return (
+            keep = (
                 (c < n_chunks_bound) & (fid < max_it)
                 & jnp.logical_not(done)
             )
+            if use_rotation:
+                # count < 3 disables EVERY rotation triple (a 3-point
+                # sample cannot exist) — exit immediately with the
+                # fitness-0 identity instead of burning chunks whose
+                # hypotheses are all masked (the reference's equivalent:
+                # every draw is a duplicate-rejected no-op).
+                keep = keep & (count >= 3)
+            return keep
 
         _, _, _, best_fitness, best_rmse, bw = jax.lax.while_loop(
             cond,
@@ -609,7 +633,6 @@ def ransac_registration(
         best_R = bw[6:15].reshape(3, 3)
         best_t = bw[3:6]
 
-    won = best_fitness > 0.0  # reference: must beat the 0-fitness default
     # Direct winner rescore (registration.cpp:270-282): the rank-16
     # scoring expansion err2 = F·W + |p|²+|q|² + |t|² is fine for
     # SELECTING among 100k hypotheses, but its f32 cancellation floor
@@ -622,6 +645,14 @@ def ransac_registration(
     err2_d = jnp.sum(dr * dr, axis=1)
     inl_d = src_mask & (err2_d < thr2)
     cnt_d = jnp.sum(inl_d.astype(jnp.float32))
+    # `won` requires BOTH scorings to beat the 0-fitness default: the
+    # expansion and the direct residual can disagree at the inlier
+    # threshold under f32 cancellation (~3e-4), and expansion-won +
+    # direct-0 would otherwise return a junk pose labeled fitness 0.0 /
+    # rmse 999 — a combination the reference can never produce. Demoting
+    # to the identity/0/0 default keeps the output in the reference's
+    # reachable set (boundary-noise delta class).
+    won = (best_fitness > 0.0) & (cnt_d > 0)
     best_fitness = cnt_d / jnp.maximum(n_valid, 1.0)
     best_rmse = jnp.where(
         cnt_d > 0,

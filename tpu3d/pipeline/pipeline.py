@@ -46,14 +46,11 @@ from tpu3d.registration import (
     prepare_cloud,
     prepare_features,
     resolve_neighbor_mode,
+    sparse_prepare_active,
+    two_stage_opt as _two_stage_opt,
 )
 from tpu3d.types import PointCloud
 from tpu3d.viz.viewer import SceneViewer
-
-
-def _two_stage_opt(v: str):
-    """Config 'auto'|'on'|'off' → ransac_registration's two_stage arg."""
-    return {"on": True, "off": False}.get(v, "auto")
 
 
 class Pipeline:
@@ -143,11 +140,22 @@ class Pipeline:
                 return None
             print(f"Instance {instance_id}: {n_pts} points")
 
-            return prepare_cloud(
+            down = downsample_bucketed(
                 cloud,
                 cfg.registration,
                 capacity=cfg.registration.max_points or None,
-                neighbor_mode=self._neighbor_mode,
+            )
+            # registration.prepare_mode — sparse query-subset source
+            # prepare (descriptors computed at registration time, only
+            # where RANSAC reads them). Gated on the run-wide descriptor
+            # mode being 'fused': the subset descriptors are fused-class
+            # and must never mix with a gather-mode reference model.
+            if self._neighbor_mode == "fused" and sparse_prepare_active(
+                cfg.registration, self._neighbor_mode, down.capacity
+            ):
+                return (down, None)
+            return prepare_features(
+                down, cfg.registration, self._neighbor_mode
             )
         except Exception as e:  # degrade like pipeline.cpp:146-149
             print(f"Instance {instance_id} prepare error: {e}")
@@ -159,16 +167,32 @@ class Pipeline:
     ) -> Optional[np.ndarray]:
         cfg = self.config
         try:
+            ransac_src, ransac_feat = source, source_features
+            corr_mode = cfg.registration.corr_mode
+            if source_features is None:
+                # prepare_mode sparse (see _prepare_instance_inner): the
+                # source's descriptors are computed here, only for the
+                # correspondence subset — each bit-identical to the dense
+                # fused path; RANSAC consumes the subset view exactly.
+                from tpu3d.ops.fused_features import fused_prepare_sparse
+                from tpu3d.utils.platform import on_tpu
+
+                ransac_src, ransac_feat, _ = fused_prepare_sparse(
+                    source,
+                    jnp.float32(cfg.registration.voxel_size * 5.0),
+                    interpret=not on_tpu(),
+                )
+                corr_mode = "exact"
             coarse = ransac_registration(
-                source,
+                ransac_src,
                 ref_cloud,
-                source_features,
+                ransac_feat,
                 ref_features,
                 cfg.registration.voxel_size,
                 max_iterations=cfg.registration.ransac_max_iterations,
                 confidence=cfg.registration.ransac_confidence,
                 seed=cfg.registration.ransac_seed,
-                corr_mode=cfg.registration.corr_mode,
+                corr_mode=corr_mode,
                 two_stage=_two_stage_opt(cfg.registration.two_stage),
             )
             print(
@@ -244,6 +268,15 @@ class Pipeline:
         groups: dict = {}
         for i, prep in enumerate(prepared):
             if prep is None:
+                continue
+            if prep[1] is None:
+                # prepare_mode sparse: descriptors are computed at
+                # registration time — scalar path only (the batch path
+                # stacks precomputed features).
+                poses[i] = self._register_instance_inner(
+                    prep[0], None, ref_cloud, ref_features, i,
+                    time.perf_counter(),
+                )
                 continue
             groups.setdefault(prep[0].capacity, []).append(i)
 

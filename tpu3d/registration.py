@@ -45,6 +45,11 @@ def bucket_capacity(count: int, minimum: int = 256) -> int:
 FUSED_CAPACITY_THRESHOLD = 16384
 
 
+def two_stage_opt(v):
+    """Config 'auto'|'on'|'off' → ransac_registration's two_stage arg."""
+    return {"on": True, "off": False}.get(v, "auto")
+
+
 def resolve_neighbor_mode(*capacities: int) -> str:
     """Pick one descriptor path for every cloud of a registration pair:
     'fused' when any participant is at scale, else 'auto' (gather — exact
@@ -169,7 +174,7 @@ def register_prepared(
     The config's exactness knobs (``corr_mode``/``src_mode``/``two_stage``,
     PARITY.md "Exact vs statistical metrics") flow through — 'exact'
     reproduces the reference's exact fitness/rmse."""
-    two_stage = {"on": True, "off": False}.get(config.two_stage, "auto")
+    two_stage = two_stage_opt(config.two_stage)
     coarse = ransac_registration(
         source,
         target,
@@ -257,9 +262,7 @@ def register_pair(
             confidence=config.ransac_confidence,
             seed=config.ransac_seed,
             corr_mode="exact",
-            two_stage={"on": True, "off": False}.get(
-                config.two_stage, "auto"
-            ),
+            two_stage=two_stage_opt(config.two_stage),
         )
         refined = icp_refine(
             src_down,
