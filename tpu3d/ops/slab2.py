@@ -128,16 +128,21 @@ def build_slab2(
     qy = jnp.where(mask, _qy_of(pts[:, 1], y0, y_scale), _Y_MAX)
     key = (bucket << _Y_BITS) | qy  # ≤ 2^31 − 1, valid i32
 
-    order = jnp.argsort(key).astype(jnp.int32)
+    # sort_key_val: the sorted keys ride the sort network — a separate
+    # key[order] gather costs ~1 ms at 100k rows on a v5e.
+    skey, order = jax.lax.sort_key_val(
+        key, jnp.arange(pts.shape[0], dtype=jnp.int32)
+    )
+    svalid = skey < (_NB_MAX << _Y_BITS)  # validity from the key itself
     sorted_pts = jnp.where(
-        mask[order, None], pts[order], _SENTINEL
+        svalid[:, None], pts[order], _SENTINEL
     )  # sentinel coords: invalid rows miss every d² gate with no mask DMA
     return Slab2Index(
         sorted_points=sorted_pts,
         sorted_points_t=sorted_pts.T,
         sorted_orig=order,
-        sorted_key=key[order],
-        valid_sorted=mask[order],
+        sorted_key=skey,
+        valid_sorted=svalid,
         x0=x0,
         inv_w=inv_w,
         y0=y0,
@@ -313,8 +318,10 @@ def build_slab2_aligned(
     qy = jnp.where(mask, _qy_of(pts[:, 1], y0, y_scale), _Y_MAX)
     key = (bucket << _Y_BITS) | qy
 
-    order = jnp.argsort(key).astype(jnp.int32)
-    skey = key[order]
+    i_idx = jnp.arange(n, dtype=jnp.int32)
+    # sort_key_val: the sorted keys ride the sort network — a separate
+    # key[order] gather costs ~1 ms at 100k rows on a v5e.
+    skey, order = jax.lax.sort_key_val(key, i_idx)
 
     # Real bucket boundaries: one vectorized searchsorted of the NB+1
     # static bucket keys (invalid rows key to _NB_MAX<<20 and land after
@@ -328,23 +335,21 @@ def build_slab2_aligned(
     )  # (NB+1,)
 
     # Destination of each real sorted row: its index plus the padding
-    # accumulated by all PRIOR bucket runs — a cumulative sum of markers
-    # placed at segment starts (no per-row table gathers). Sorted-row
-    # validity comes from the key itself (invalid rows key to
-    # _NB_MAX<<_Y_BITS | _Y_MAX, past every real bucket) — no mask gather.
-    i_idx = jnp.arange(n, dtype=jnp.int32)
+    # accumulated by all PRIOR bucket runs. That shift is closed-form per
+    # bucket — offsets[b] − starts[b] — so a one-hot matvec over the
+    # ≤128-entry bucket table reads it per row with no scans and no
+    # per-row table gathers (both cost real ms at 100k rows; the matvec
+    # fuses to a VPU compare+FMA sweep). f32 is exact: values < mp < 2^24
+    # (asserted below). Sorted-row validity comes from the key itself
+    # (invalid rows key to _NB_MAX<<_Y_BITS | _Y_MAX, past every real
+    # bucket) — no mask gather.
     svalid = skey < (_NB_MAX << _Y_BITS)
-    sb = skey >> _Y_BITS
-    new_seg = jnp.concatenate(
-        [jnp.ones((1,), bool), sb[1:] != sb[:-1]]
-    )
-    seg_start = jnp.where(new_seg, i_idx, 0)
-    start_i = jax.lax.cummax(seg_start)  # start of MY segment
-    prev_start = jnp.concatenate([jnp.zeros((1,), jnp.int32), start_i[:-1]])
-    marker = jnp.where(
-        new_seg & (i_idx > 0), (-(i_idx - prev_start)) % block, 0
-    )
-    padshift = jnp.cumsum(marker).astype(jnp.int32)
+    sb = skey >> _Y_BITS  # < max_buckets for valid rows, _NB_MAX else
+    pad_of_bucket = (offsets[:-1] - starts[:-1]).astype(jnp.float32)
+    onehot = (
+        sb[:, None] == jnp.arange(max_buckets, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)  # invalid rows: all-zero row → padshift 0
+    padshift = (onehot @ pad_of_bucket).astype(jnp.int32)
     dest = jnp.where(svalid, i_idx + padshift, mp)  # invalid → dropped
     # Route the destination back to ORIGINAL row order with one i32
     # scatter, so the payload needs NO sorted-order gathers at all (a

@@ -108,7 +108,14 @@ def surface_neighbors(
         # per-row results are un-sorted back at the end (returned idx values
         # are already original rows via sorted_orig).
         idx, d2, _overflow = slab_knn(slab, slab.sorted_points, radius, k=k)
-        inv = jnp.argsort(slab.sorted_orig)
+        # Invert the permutation with one unique-index scatter (an argsort
+        # re-pays the full O(n log n) sort network for what is a write).
+        n_rows = slab.sorted_orig.shape[0]
+        inv = (
+            jnp.zeros((n_rows,), jnp.int32)
+            .at[slab.sorted_orig]
+            .set(jnp.arange(n_rows, dtype=jnp.int32), unique_indices=True)
+        )
         return idx[inv], d2[inv]
     if mode == "grid":
         grid = build_grid(cloud.points, cloud.mask, radius)
