@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from tpu3d.ops.nn_pallas import nearest_neighbor
 from tpu3d.ops.ransac_pallas import score_hypotheses_pallas
-from tpu3d.ops.transforms import kabsch_quat, make_transform
+from tpu3d.ops.transforms import kabsch3_planes, kabsch_quat, make_transform
 from tpu3d.types import FPFHFeatures, PointCloud, RegistrationResult
 
 from tpu3d.utils.platform import on_tpu
@@ -375,9 +375,32 @@ def ransac_registration(
         # reject every draw as duplicate) — disable all, yielding the
         # fitness-0 identity result.
         disabled = (~vv) | (ids >= max_iterations) | (count < 3)
-        s6 = jnp.stack([s1, s2, s3], axis=1)  # (h, 3, 6)
-        Rs, ts = kabsch_quat(s6[..., :3], s6[..., 3:])
-        w16t, t_norm = pack_hypotheses(Rs, ts)
+        # Plane-based QCP solve: transpose each (h, 6) slot table ONCE to
+        # (6, h) planes (three small relayouts), then the whole ~100-op
+        # solve chain runs on (h,) planes at full lane occupancy. The
+        # (h, 3, 6)-stacked kabsch_quat alternative runs its centering/
+        # correlation micro-ops on minor-dim-3/6 arrays (≤6 of 128 lanes
+        # live). NOTE the 18-gather kabsch3_planes variant in
+        # solve_hypotheses' docstring was reverted for its GATHER cost —
+        # this path has no gathers at all (slots are contiguous rolls).
+        s1t, s2t, s3t = s1.T, s2.T, s3.T  # (6, h)
+        ps = tuple((st[0], st[1], st[2]) for st in (s1t, s2t, s3t))
+        qs = tuple((st[3], st[4], st[5]) for st in (s1t, s2t, s3t))
+        r_pl, t_pl = kabsch3_planes(ps, qs)
+        # Pack the scoring factors straight from planes: [Rᵀt | t |
+        # vec(R) | 0] (same rows as pack_hypotheses, no (h,3,3) slicing).
+        u = tuple(
+            r_pl[j] * t_pl[0] + r_pl[3 + j] * t_pl[1]
+            + r_pl[6 + j] * t_pl[2]
+            for j in range(3)
+        )
+        w16t = jnp.stack(
+            list(u) + list(t_pl) + list(r_pl)
+            + [jnp.zeros_like(t_pl[0])]
+        )  # (16, h)
+        t_norm = (
+            t_pl[0] * t_pl[0] + t_pl[1] * t_pl[1] + t_pl[2] * t_pl[2]
+        )
         n_consumed = jnp.sum(vv.astype(jnp.int32))
         return w16t, t_norm, disabled, n_consumed
 
