@@ -1,8 +1,11 @@
 """The Pallas prepare-sweep kernels (interpret mode) must reproduce the
 XLA sweep engine: same windows, same math. Differences are limited to
-matmul precision (the XLA engine uses bf16x3 MXU dots, the kernels exact
-f32) and theta binning (atan2-then-compare vs exact half-plane compares)
-— both are bin-boundary noise on a measure-zero set."""
+matmul precision (the XLA engine runs f32-HIGHEST dots since the real-TPU
+run of this test exposed bf16x3's cancellation amplification — normals
+23° off on few-neighbor rows, 1-4% descriptor mass in flipped bins; the
+kernels use bf16x3 where the epilogue is cancellation-free and validate
+against the oracle directly) and theta binning (atan2-then-compare vs
+exact half-plane compares) — bin-boundary noise on a measure-zero set."""
 
 import jax.numpy as jnp
 import numpy as np

@@ -30,10 +30,17 @@ def _cloud(n, seed=0, degenerate=None):
     elif degenerate == "xy":
         pts[:, 0] = 0.123
         pts[:, 1] = -0.321
+    elif degenerate == "gap":
+        # Two tight clusters with EMPTY buckets between them: the padding
+        # shift of every row in the right cluster accumulates across a
+        # run of empty buckets (exercises the closed-form
+        # offsets[b]−starts[b] lookup, not just lead/tail emptiness).
+        pts[: n // 2, 0] = pts[: n // 2, 0] * 0.02 - 0.49
+        pts[n // 2:, 0] = pts[n // 2:, 0] * 0.02 + 0.47
     return pts
 
 
-@pytest.mark.parametrize("degenerate", [None, "x", "xy"])
+@pytest.mark.parametrize("degenerate", [None, "x", "xy", "gap"])
 @pytest.mark.parametrize("block", [32, 128])
 def test_aligned_layout_and_window_superset(degenerate, block):
     n = 700

@@ -74,22 +74,24 @@ _BIN_THRESH = tuple(b / 5.5 - 1.0 for b in range(1, 11))
 
 
 def _bdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Batched (G,B,K)x(G,K,S)->(G,B,S) matmul in manual bf16x3 (~1e-7
-    relative, half the MXU passes of HIGHEST — see ops/precision.py)."""
+    """Batched (G,B,K)x(G,K,S)->(G,B,S) matmul, exact f32 (HIGHEST).
+
+    The XLA sweep engine is the CPU production path and only a debug/
+    comparison path on TPU (engine='auto' picks the Pallas kernels
+    there), so a single f32 dot is the right trade BOTH ways: on CPU it
+    is exact and ~3x cheaper than the manual bf16x3 split this used to
+    carry (the split exists for MXU economy — see ops/precision.py,
+    still used by the Pallas kernels, which validate against the oracle
+    directly); on a real MXU bf16x3's ~1e-7 error is cancellation-
+    amplified by the epilogues — cov = E[cc] − μμᵀ on few-neighbor rows
+    rotated normals up to ~23° off the oracle, and Darboux angle-bin
+    flips moved 1-4% of descriptor mass (caught by the TPU run of
+    test_features_pallas.py::test_pallas_sweeps_match_xla_engine)."""
     dn = (((2,), (1,)), ((0,), (0,)))
-
-    def dot(x, y):
-        return jax.lax.dot_general(
-            x.astype(jnp.bfloat16), y.astype(jnp.bfloat16), dn,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-
-    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
-    a_lo = a - a_hi
-    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
-    b_lo = b - b_hi
-    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+    return jax.lax.dot_general(
+        a, b, dn, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _window_scan(m, lo_vec, len_vec, sub, init, tile_fn):

@@ -43,7 +43,6 @@ from tpu3d.ops.transforms import invert_transform
 from tpu3d.pipeline.dedup import filter_duplicates
 from tpu3d.registration import (
     downsample_bucketed,
-    prepare_cloud,
     prepare_features,
     resolve_neighbor_mode,
     sparse_prepare_active,
