@@ -446,7 +446,7 @@ def icp_refine(
     point_to_plane: bool = True,
     nn_mode: str = "auto",
     cell_capacity: int = 16,
-    block: int = 256,
+    block: int | None = None,
     sub: int = 512,
     target_index: IcpTargetIndex | None = None,
     src_cap: int = 16384,
@@ -473,6 +473,16 @@ def icp_refine(
     scales 1/√n_corr, far below the convergence tolerance). 'exact'
     always iterates every source row (the reference's semantics,
     registration.cpp:321-339)."""
+    # Query-block width: the slab sweep's total compute is ~ block × M
+    # (each block's window spans its queries' x-range — block consecutive
+    # source rows cover ~block/n_src of the target regardless of how the
+    # source was subsampled), so the narrowest block the hardware allows
+    # wins. 128 is the Mosaic lane floor for the Pallas kernel's (8, B)
+    # query tile (chip A/B at the bench shape: 128 → 8.5 ms/pair vs 256 →
+    # 8.8; 64 fails lowering). The XLA lax.map backend pays ~4-5 µs
+    # dispatch PER BLOCK, so it amortizes better at 256.
+    if block is None:
+        block = 128 if on_tpu() else 256
     thr = jnp.asarray(distance_threshold, jnp.float32)
     use_p2l = point_to_plane and target.normals is not None  # trace-time, like
     # the reference's `point_to_plane && target.hasNormals()` (:343, :365)
