@@ -355,35 +355,35 @@ def ransac_registration(
             r0 = u[2] % jnp.maximum(count, 1)
 
             def roll_mod(r):
-                # row i -> row (i + r) mod count (i < count; junk above):
-                # one contiguous dynamic_slice of the doubled table
-                # (pq2[i + r] = pq_sorted[(i + r) mod count] for every
-                # i < count when r < count — see pq2's construction).
-                # Bit-identical to the two-roll+select formulation it
-                # replaces, at one op per slot instead of three.
-                return jax.lax.dynamic_slice(pq2_sorted, (r, 0), (n, 6))
+                # column i -> column (i + r) mod count (i < count; junk
+                # above): one contiguous dynamic_slice of the doubled
+                # PLANE table (pq2p[:, i + r] = plane value of sorted row
+                # (i + r) mod count for every i < count when r < count —
+                # see pq2p's construction). Plane-major so the epoch
+                # concat below lands directly in the (6, h) layout the
+                # QCP plane solve consumes — the former (h, 6) slot
+                # tables needed three (h, 6)→(6, h) relayouts per chunk.
+                return jax.lax.dynamic_slice(pq2p, (0, r), (6, n))
 
             slots1.append(roll_mod(r0))
             slots2.append(roll_mod(jax.lax.rem(r0 + r1, count)))
             slots3.append(roll_mod(jax.lax.rem(r0 + r2, count)))
-        s1 = jnp.concatenate(slots1, axis=0)[:h]
-        s2 = jnp.concatenate(slots2, axis=0)[:h]
-        s3 = jnp.concatenate(slots3, axis=0)[:h]
+        s1t = jnp.concatenate(slots1, axis=1)[:, :h]
+        s2t = jnp.concatenate(slots2, axis=1)[:, :h]
+        s3t = jnp.concatenate(slots3, axis=1)[:, :h]
         vv = jnp.concatenate([valid1] * n_ep, axis=0)[:h]
         ids = first_id + jnp.cumsum(vv.astype(jnp.int32)) - 1
         # count < 3: a 3-point sample cannot exist (the reference would
         # reject every draw as duplicate) — disable all, yielding the
         # fitness-0 identity result.
         disabled = (~vv) | (ids >= max_iterations) | (count < 3)
-        # Plane-based QCP solve: transpose each (h, 6) slot table ONCE to
-        # (6, h) planes (three small relayouts), then the whole ~100-op
-        # solve chain runs on (h,) planes at full lane occupancy. The
-        # (h, 3, 6)-stacked kabsch_quat alternative runs its centering/
-        # correlation micro-ops on minor-dim-3/6 arrays (≤6 of 128 lanes
-        # live). NOTE the 18-gather kabsch3_planes variant in
+        # Plane-based QCP solve on the (6, h) slot planes: the whole
+        # ~100-op solve chain runs on (h,) planes at full lane occupancy.
+        # The (h, 3, 6)-stacked kabsch_quat alternative runs its
+        # centering/correlation micro-ops on minor-dim-3/6 arrays (≤6 of
+        # 128 lanes live). NOTE the 18-gather kabsch3_planes variant in
         # solve_hypotheses' docstring was reverted for its GATHER cost —
         # this path has no gathers at all (slots are contiguous rolls).
-        s1t, s2t, s3t = s1.T, s2.T, s3.T  # (6, h)
         ps = tuple((st[0], st[1], st[2]) for st in (s1t, s2t, s3t))
         qs = tuple((st[3], st[4], st[5]) for st in (s1t, s2t, s3t))
         r_pl, t_pl = kabsch3_planes(ps, qs)
@@ -435,21 +435,26 @@ def ransac_registration(
     else:
         use_rotation = False
     if use_rotation:
-        # Mod-count roll table for the rotation sampler: rows [0, count)
-        # hold the compacted valid rows, and a second full copy starts AT
-        # row `count` (one dynamic_update_slice), so for any shift
-        # r < count the contiguous window pq2[r : r + n] reads row
-        # (i + r) mod count at position i for every i < count (positions
-        # i >= count are junk either way — slot validity masks them).
-        # Built once; each epoch slot is then a single dynamic_slice.
-        pq_sorted = pq_packed[perm]
-        pq2_sorted = jax.lax.dynamic_update_slice(
-            jnp.concatenate([pq_sorted, jnp.zeros_like(pq_sorted)], axis=0),
-            pq_sorted,
-            (count, jnp.int32(0)),
+        # Mod-count roll table for the rotation sampler, PLANE-major
+        # (6, 2n): columns [0, count) hold the compacted valid rows' p‖q
+        # planes, and a second full copy starts AT column `count` (one
+        # dynamic_update_slice), so for any shift r < count the contiguous
+        # window pq2p[:, r : r + n] reads row (i + r) mod count at
+        # position i for every i < count (positions i >= count are junk
+        # either way — slot validity masks them). Built once per call
+        # (ONE small (n, 6)→(6, n) relayout); each epoch slot is then a
+        # single dynamic_slice already in the layout the plane solve
+        # consumes.
+        pq_sorted_t = pq_packed[perm].T  # (6, n)
+        pq2p = jax.lax.dynamic_update_slice(
+            jnp.concatenate(
+                [pq_sorted_t, jnp.zeros_like(pq_sorted_t)], axis=1
+            ),
+            pq_sorted_t,
+            (jnp.int32(0), count),
         )
     else:
-        pq_sorted = pq2_sorted = None
+        pq2p = None
 
     if use_chunked:
         # --- sequential-chunk evaluation with the reference's early exit ----
