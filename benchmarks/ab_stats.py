@@ -88,6 +88,18 @@ def main():
         # (3): default statistical pipeline vs all-exact pipeline.
         ref_a = icp_refine(src_p, tgt_p, est.transformation, voxel * 0.4,
                            max_iterations=200)
+        # Reported-fitness fidelity AT THE SAME POSE: a 1-iteration exact
+        # run at ref_a's returned pose measures the exact full-cloud
+        # fitness there (metrics are pre-update, registration.cpp:401-404).
+        # |fit_icp_auto − this| is the estimator/reporting error item — the
+        # cross-pipeline fit_icp_auto vs fit_icp_exact delta below mixes in
+        # pose divergence (two arms settle in different noise-tube minima,
+        # r3 per_seed: the 0.12 deltas ride 0.75-voxel pose deltas) and is
+        # reported informationally, not gated.
+        exact_at_a = icp_refine(
+            src_p, tgt_p, ref_a.transformation, voxel * 0.4,
+            max_iterations=1, src_mode="exact",
+        )
         coarse_x = ransac_registration(
             src_p, tgt_p, src_f, tgt_f, voxel, max_iterations=100000,
             seed=seed, corr_mode="exact", two_stage=False,
@@ -147,6 +159,7 @@ def main():
             "pose_rot_err_true_exact": round(rot_true_x, 6),
             "pose_trn_err_true_exact": round(trn_true_x, 7),
             "fit_icp_auto": round(float(ref_a.fitness), 5),
+            "fit_icp_auto_exact_at_pose": round(float(exact_at_a.fitness), 5),
             "fit_icp_exact": round(float(ref_x.fitness), 5),
             "pose_rot_err_true_sparse": round(rot_true_s, 6),
             "pose_trn_err_true_sparse": round(trn_true_s, 7),
@@ -197,11 +210,27 @@ def main():
         "max_pose_trn_err_true_noisy": max(
             (r["pose_trn_err_true"] for r in noisy_rows), default=0.0
         ),
+        # Reported fitness vs exact AT THE SAME POSE (the number the
+        # min_fitness gate consumes — see the exact_at_a note above). With
+        # icp_refine's final_metrics='auto' exact rescore this should sit
+        # at fp-noise; >0.02 means the reporting path regressed.
         "max_icp_fit_delta_clean": max(
-            (abs(r["fit_icp_auto"] - r["fit_icp_exact"]) for r in clean),
+            (abs(r["fit_icp_auto"] - r["fit_icp_auto_exact_at_pose"])
+             for r in clean),
             default=0.0,
         ),
         "max_icp_fit_delta_noisy": max(
+            (abs(r["fit_icp_auto"] - r["fit_icp_auto_exact_at_pose"])
+             for r in noisy_rows),
+            default=0.0,
+        ),
+        # Cross-pipeline fitness spread (auto arm vs all-exact arm) —
+        # pose-divergence dominated under noise; informational.
+        "max_icp_fit_cross_pipeline_clean": max(
+            (abs(r["fit_icp_auto"] - r["fit_icp_exact"]) for r in clean),
+            default=0.0,
+        ),
+        "max_icp_fit_cross_pipeline_noisy": max(
             (abs(r["fit_icp_auto"] - r["fit_icp_exact"])
              for r in noisy_rows),
             default=0.0,
@@ -294,6 +323,7 @@ def main():
         and summary["mean_trn_excess_vs_exact"] <= 0.5 * sigma
         and summary["max_rot_excess_vs_exact"] <= 5e-3
         and summary["max_icp_fit_delta_clean"] <= 0.02
+        and summary["max_icp_fit_delta_noisy"] <= 0.02
         # The sparse-prepare arm rides the SAME gates as the default
         # statistical pipeline — its subset is just stratified by layout
         # block instead of row stride.

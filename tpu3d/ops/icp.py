@@ -435,7 +435,8 @@ def fused_slab_stats_fn(
 @functools.partial(
     jax.jit,
     static_argnames=("max_iterations", "point_to_plane", "nn_mode",
-                     "cell_capacity", "block", "sub", "src_cap", "src_mode"),
+                     "cell_capacity", "block", "sub", "src_cap", "src_mode",
+                     "final_metrics"),
 )
 def icp_refine(
     source: PointCloud,
@@ -451,6 +452,7 @@ def icp_refine(
     target_index: IcpTargetIndex | None = None,
     src_cap: int = 16384,
     src_mode: str = "auto",
+    final_metrics: str = "auto",
 ) -> RegistrationResult:
     """``nn_mode`` selects the correspondence backend — ALL exact for ICP's
     semantics (matches beyond the threshold are rejected anyway,
@@ -472,31 +474,48 @@ def icp_refine(
     fitness/rmse become subset estimates with σ ≈ 0.4% at 16k; pose noise
     scales 1/√n_corr, far below the convergence tolerance). 'exact'
     always iterates every source row (the reference's semantics,
-    registration.cpp:321-339)."""
+    registration.cpp:321-339).
+
+    ``final_metrics``: what the RETURNED fitness/rmse are when the source
+    was subsetted. 'exact' (and 'auto', the default) runs ONE extra
+    full-source correspondence pass at the converged pose, so the reported
+    fitness is the exact full-cloud inlier fraction — the number
+    ``min_fitness`` gating consumes (pipeline.cpp:131-134) never sees the
+    subset estimate, whose noisy-scene error the pose-steep inlier tube
+    can amplify well past its nominal sigma (AB_STATS r3:
+    max_icp_fit_delta_noisy 0.12). 'estimate' keeps the subset estimate
+    (one pass cheaper). Semantic note: the exact metrics describe the
+    RETURNED (post-update) transform, where the reference reports the
+    pre-update metrics of its last iteration — at |Δrmse| < 1e-6
+    convergence the difference is below the estimate noise either way."""
+    thr = jnp.asarray(distance_threshold, jnp.float32)
+    use_p2l = point_to_plane and target.normals is not None  # trace-time, like
+    # the reference's `point_to_plane && target.hasNormals()` (:343, :365)
     # Query-block width: the slab sweep's total compute is ~ block × M
     # (each block's window spans its queries' x-range — block consecutive
     # source rows cover ~block/n_src of the target regardless of how the
     # source was subsampled), so the narrowest block the hardware allows
     # wins. 128 is the Mosaic lane floor for the Pallas kernel's (8, B)
     # query tile (chip A/B at the bench shape: 128 → 8.5 ms/pair vs 256 →
-    # 8.8; 64 fails lowering). The XLA lax.map backend pays ~4-5 µs
-    # dispatch PER BLOCK, so it amortizes better at 256.
+    # 8.8; 64 fails lowering). The Pallas backend only engages for p2plane
+    # with normals (fused_slab_stats_fn); every other combination runs the
+    # XLA lax.map fallback, which pays ~4-5 µs dispatch PER BLOCK and
+    # amortizes better at 256.
     if block is None:
-        block = 128 if on_tpu() else 256
-    thr = jnp.asarray(distance_threshold, jnp.float32)
-    use_p2l = point_to_plane and target.normals is not None  # trace-time, like
-    # the reference's `point_to_plane && target.hasNormals()` (:343, :365)
+        block = 128 if (on_tpu() and use_p2l) else 256
     src_pts = source.points.astype(jnp.float32)
     smask = source.mask
 
     if nn_mode == "auto":
         nn_mode = "slab" if target.capacity >= 4096 else "brute"
 
-    if (
+    src_full, smask_full = src_pts, smask
+    use_sub = (
         nn_mode == "slab"
         and src_mode in ("subsample", "auto")
         and src_pts.shape[0] >= 2 * src_cap  # small clouds: exact always
-    ):
+    )
+    if use_sub:
         # Strided decimation (reshape + major-axis slice — gather-free;
         # see ops/ransac.py's corr subsample and decimation_stride for
         # the layout/raster-aliasing rationale).
@@ -552,6 +571,33 @@ def icp_refine(
             target.normals if use_p2l else None, thr, use_p2l,
         )
 
-    return icp_loop(
+    res = icp_loop(
         stats, n_valid, initial_transform, max_iterations, use_p2l
     )
+
+    if use_sub and final_metrics in ("auto", "exact"):
+        # Exact final metrics (see the docstring): one full-source pass at
+        # the converged pose. Costs one extra full x-sort + sweep — the
+        # sweep's compute is ~block × M like any iteration (each target
+        # row is scanned by ~one query block regardless of query count),
+        # so the pass is comparable to ~2 subset iterations.
+        xf = transform_points(res.transformation, src_full)[:, 0]
+        order_f = jnp.argsort(jnp.where(smask_full, xf, jnp.float32(3e4)))
+        stats_exact = fused_slab_stats_fn(
+            index, src_full[order_f], smask_full[order_f], thr, use_p2l,
+            block=block, sub=sub,
+        )
+        s = stats_exact(res.transformation)
+        n_valid_full = jnp.maximum(
+            jnp.sum(smask_full.astype(jnp.float32)), 1.0
+        )
+        res = RegistrationResult(
+            transformation=res.transformation,
+            fitness=s.n_corr / n_valid_full,
+            rmse=jnp.where(
+                s.n_corr > 0,
+                jnp.sqrt(s.sum_d2 / jnp.maximum(s.n_corr, 1.0)),
+                0.0,
+            ),
+        )
+    return res
