@@ -241,9 +241,10 @@ def test_pipeline_prepare_mode_sparse_routing():
     """registration.prepare_mode='sparse' must actually flow through the
     pipeline (it is advertised in config/pipeline_config.yaml): prepare
     returns a features-less marker (source descriptors are deferred to
-    registration time), _register_instances routes such instances through
-    the scalar path (the batch path stacks precomputed features), and the
-    registration completes with a finite pose."""
+    registration time), _register_instances keeps such instances on the
+    vmap-batched path (register_batch ransac_sources — sparse prepare and
+    instance batching compose), and registration completes with a finite
+    pose."""
     from tpu3d.registration import prepare_features
 
     z, K = _bumpy_frame()
@@ -275,9 +276,10 @@ def test_pipeline_prepare_mode_sparse_routing():
     poses = pipe._register_instances(
         [prep, prep], ref_cloud, ref_features
     )
-    # Two same-capacity instances WOULD have batched on the dense path —
-    # the sparse marker must divert them to the scalar path instead.
-    assert pipe._batched_groups == 0
+    # Two same-capacity sparse instances batch exactly like dense ones:
+    # subset views are computed per instance, then one vmap program runs
+    # RANSAC on the views and ICP on the full clouds.
+    assert pipe._batched_groups == 1
     for pose in poses:
         assert pose is not None, "sparse-path registration failed"
         assert pose.shape == (4, 4) and np.all(np.isfinite(pose))

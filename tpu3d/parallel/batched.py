@@ -73,6 +73,7 @@ def register_batch(
     corr_mode: str = "auto",
     src_mode: str = "auto",
     two_stage: str | bool = "auto",
+    ransac_sources: PointCloud | None = None,
 ) -> tuple[RegistrationResult, RegistrationResult]:
     """RANSAC + ICP for a batch of source instances against one target.
 
@@ -81,11 +82,21 @@ def register_batch(
     ``corr_mode``/``src_mode``/``two_stage`` are the same exactness knobs as
     the scalar path (ops/ransac.py, ops/icp.py) — 'exact' requests
     reference-exact fitness/rmse.
-    """
 
-    def one(src: PointCloud, feat: FPFHFeatures):
+    ``ransac_sources``: optional batch of RANSAC-only subset views (the
+    sparse-prepare output, ops/fused_features.fused_prepare_sparse — same
+    subset capacity across instances by construction). When given, RANSAC
+    consumes these views with their ``source_features`` while ICP refines
+    the FULL ``sources`` clouds — the batched analog of the scalar sparse
+    path (pipeline ``prepare_mode``), so 64-instance vmap fan-out and
+    sparse prepare compose instead of excluding each other. The views are
+    already the correspondence subset, so corr_mode is forced 'exact'."""
+
+    def one(
+        src: PointCloud, feat: FPFHFeatures, rsrc: PointCloud | None
+    ):
         coarse = ransac_registration(
-            src,
+            src if rsrc is None else rsrc,
             target,
             feat,
             target_features,
@@ -94,7 +105,7 @@ def register_batch(
             confidence=ransac_confidence,
             seed=seed,
             chunk=ransac_chunk,
-            corr_mode=corr_mode,
+            corr_mode="exact" if rsrc is not None else corr_mode,
             two_stage=two_stage,
         )
         refined = icp_refine(
@@ -108,7 +119,11 @@ def register_batch(
         )
         return refined, coarse
 
-    return jax.vmap(one)(sources, source_features)
+    if ransac_sources is None:
+        return jax.vmap(lambda s, f: one(s, f, None))(
+            sources, source_features
+        )
+    return jax.vmap(one)(sources, source_features, ransac_sources)
 
 
 def shard_instances(

@@ -268,15 +268,11 @@ class Pipeline:
         for i, prep in enumerate(prepared):
             if prep is None:
                 continue
-            if prep[1] is None:
-                # prepare_mode sparse: descriptors are computed at
-                # registration time — scalar path only (the batch path
-                # stacks precomputed features).
-                poses[i] = self._register_instance_inner(
-                    prep[0], None, ref_cloud, ref_features, i,
-                    time.perf_counter(),
-                )
-                continue
+            # prepare_mode sparse instances (prep[1] is None) batch like
+            # any others: the sparse gate depends only on capacity+config,
+            # so a capacity bucket is uniformly sparse or dense, and
+            # _register_batch_group computes the subset views before the
+            # one fused device call (register_batch ransac_sources).
             groups.setdefault(prep[0].capacity, []).append(i)
 
         self._batched_groups = 0  # test/diagnostic hook
@@ -316,10 +312,34 @@ class Pipeline:
             f" (capacity {preps[0][0].capacity}) ---"
         )
         batch = stack_clouds([p[0] for p in preps])
-        fbatch = FPFHFeatures(
-            descriptors=jnp.stack([p[1].descriptors for p in preps]),
-            mask=jnp.stack([p[1].mask for p in preps]),
-        )
+        rbatch = None
+        if preps[0][1] is None:
+            # prepare_mode sparse group: compute each instance's exact
+            # correspondence-subset view now (same subset capacity across
+            # the group — corr_cap/block are static), then register the
+            # whole group as ONE vmap program: RANSAC on the views, ICP
+            # on the full clouds (register_batch ransac_sources).
+            from tpu3d.ops.fused_features import fused_prepare_sparse
+            from tpu3d.utils.platform import on_tpu
+
+            subs = [
+                fused_prepare_sparse(
+                    p[0],
+                    jnp.float32(cfg.voxel_size * 5.0),
+                    interpret=not on_tpu(),
+                )[:2]
+                for p in preps
+            ]
+            rbatch = stack_clouds([s for s, _ in subs])
+            fbatch = FPFHFeatures(
+                descriptors=jnp.stack([f.descriptors for _, f in subs]),
+                mask=jnp.stack([f.mask for _, f in subs]),
+            )
+        else:
+            fbatch = FPFHFeatures(
+                descriptors=jnp.stack([p[1].descriptors for p in preps]),
+                mask=jnp.stack([p[1].mask for p in preps]),
+            )
         t0 = time.perf_counter()
         refined, coarse = register_batch(
             batch,
@@ -327,6 +347,7 @@ class Pipeline:
             fbatch,
             ref_features,
             cfg.voxel_size,
+            ransac_sources=rbatch,
             ransac_max_iterations=cfg.ransac_max_iterations,
             ransac_confidence=cfg.ransac_confidence,
             icp_distance_factor=cfg.icp_distance_factor,

@@ -169,6 +169,27 @@ def prepare_features(
     return down, features
 
 
+def prepare_icp_target(
+    cloud: PointCloud,
+    config: RegistrationConfig,
+    with_normals: bool = True,
+) -> PointCloud:
+    """Downsample + normals ONLY — the prep an ICP-only consumer needs.
+
+    ICP reads the target's points and (for point-to-plane) its normals,
+    never FPFH descriptors (registration.cpp:343-372), so the multiscale
+    per-level target prep must not pay the full 33-bin FPFH sweep that
+    ``prepare_cloud`` runs. ``with_normals=False`` (point-to-point) skips
+    even the normal estimation."""
+    down = downsample_bucketed(cloud, config)
+    if not with_normals:
+        return down
+    radius = jnp.float32(config.voxel_size * 5.0)
+    mode = "slab" if down.capacity >= FUSED_CAPACITY_THRESHOLD else "brute"
+    nbrs = surface_neighbors(down, radius, k=30, mode=mode)
+    return estimate_normals(down, k=30, neighbors=nbrs)
+
+
 def register_prepared(
     source: PointCloud,
     target: PointCloud,
@@ -331,7 +352,12 @@ def register_pair_multiscale(
         lvl_cfg = dataclasses.replace(config, voxel_size=voxel)
         down = voxel_downsample(source, voxel)
         src_l = compact(down, bucket_capacity(max(int(down.count()), 1)))
-        tgt_l, _ = prepare_cloud(target, lvl_cfg)  # normals for p2plane
+        # Normals-only target prep: per-level ICP never reads FPFH, so
+        # the full prepare_cloud here recomputed a dead 33-bin descriptor
+        # sweep per level (and p2point levels skip normals too).
+        tgt_l = prepare_icp_target(
+            target, lvl_cfg, with_normals=config.use_point_to_plane
+        )
         # Coarse levels use a generous threshold (1x voxel) to capture the
         # remaining misalignment; the finest level applies the reference's
         # icp_distance_factor semantics.
