@@ -142,6 +142,108 @@ def score_w16(feat_s, pq_s, w_s, tn_s, thr2, chunk=512):
     return c_.reshape(-1)[:hh], e_.reshape(-1)[:hh]
 
 
+def build_rotation_table(pq_packed, perm, count):
+    """Mod-count roll table for the rotation sampler, PLANE-major (6, 2n):
+    columns [0, count) hold the compacted valid rows' p‖q planes, and a
+    second full copy starts AT column ``count`` (one dynamic_update_slice),
+    so for any shift r < count the contiguous window pq2p[:, r : r + n]
+    reads row (i + r) mod count at position i for every i < count
+    (positions i >= count are junk either way — slot validity masks them).
+    Built once per call (ONE small (n, 6)→(6, n) relayout); each epoch slot
+    is then a single dynamic_slice already in the layout the plane solve
+    consumes. Shared by the single-chip chunked path and the
+    hypothesis-sharded path (tpu3d/parallel/ransac_sharded.py)."""
+    pq_sorted_t = pq_packed[perm].T  # (6, n)
+    return jax.lax.dynamic_update_slice(
+        jnp.concatenate(
+            [pq_sorted_t, jnp.zeros_like(pq_sorted_t)], axis=1
+        ),
+        pq_sorted_t,
+        (jnp.int32(0), count),
+    )
+
+
+def solve_rotation_chunk(kc, h, first_id, pq2p, count, max_iterations):
+    """Gather-free 3-point sampling (see ``sampling`` in
+    ransac_registration's docstring): E = ceil(h/n) epochs over the
+    compacted valid-first table; epoch e yields triples
+    (i, (i+r1)%count, (i+r2)%count) for every valid row i. Each mod-count
+    roll is ONE contiguous dynamic_slice of the doubled (6, 2n)
+    plane-major table ``pq2p`` (build_rotation_table — no per-row gather).
+    Returns (w16t, t_norm, disabled, ids, n_consumed): ids are first_id +
+    the cumsum of valid slot-1 rows, so each valid triple consumes exactly
+    one iteration of the max_iterations budget (the sharded path needs the
+    ids themselves for its GLOBAL prefix cutoff —
+    tpu3d/parallel/ransac_sharded.py)."""
+    n = pq2p.shape[1] // 2
+    n_ep = -(-h // n)
+    cm1 = jnp.maximum(count - 1, 1)
+    cm2 = jnp.maximum(count - 2, 1)
+    iota = jnp.arange(n)
+    valid1 = iota < count
+    slots1, slots2, slots3 = [], [], []
+    for e in range(n_ep):
+        u = jax.random.randint(
+            jax.random.fold_in(kc, e), (3,), 0, 1 << 30
+        )
+        a = u[0] % cm1
+        r1 = 1 + a
+        r2 = 1 + (a + 1 + u[1] % cm2) % cm1
+        # Per-epoch base rotation r0: epoch h-truncation would
+        # otherwise overweight a fixed row prefix every chunk.
+        r0 = u[2] % jnp.maximum(count, 1)
+
+        def roll_mod(r):
+            # column i -> column (i + r) mod count (i < count; junk
+            # above): one contiguous dynamic_slice of the doubled
+            # PLANE table (pq2p[:, i + r] = plane value of sorted row
+            # (i + r) mod count for every i < count when r < count —
+            # see build_rotation_table). Plane-major so the epoch
+            # concat below lands directly in the (6, h) layout the
+            # QCP plane solve consumes — the former (h, 6) slot
+            # tables needed three (h, 6)→(6, h) relayouts per chunk.
+            return jax.lax.dynamic_slice(pq2p, (0, r), (6, n))
+
+        slots1.append(roll_mod(r0))
+        slots2.append(roll_mod(jax.lax.rem(r0 + r1, count)))
+        slots3.append(roll_mod(jax.lax.rem(r0 + r2, count)))
+    s1t = jnp.concatenate(slots1, axis=1)[:, :h]
+    s2t = jnp.concatenate(slots2, axis=1)[:, :h]
+    s3t = jnp.concatenate(slots3, axis=1)[:, :h]
+    vv = jnp.concatenate([valid1] * n_ep, axis=0)[:h]
+    ids = first_id + jnp.cumsum(vv.astype(jnp.int32)) - 1
+    # count < 3: a 3-point sample cannot exist (the reference would
+    # reject every draw as duplicate) — disable all, yielding the
+    # fitness-0 identity result.
+    disabled = (~vv) | (ids >= max_iterations) | (count < 3)
+    # Plane-based QCP solve on the (6, h) slot planes: the whole
+    # ~100-op solve chain runs on (h,) planes at full lane occupancy.
+    # The (h, 3, 6)-stacked kabsch_quat alternative runs its
+    # centering/correlation micro-ops on minor-dim-3/6 arrays (≤6 of
+    # 128 lanes live). NOTE the 18-gather kabsch3_planes variant in
+    # solve_hypotheses' docstring was reverted for its GATHER cost —
+    # this path has no gathers at all (slots are contiguous rolls).
+    ps = tuple((st[0], st[1], st[2]) for st in (s1t, s2t, s3t))
+    qs = tuple((st[3], st[4], st[5]) for st in (s1t, s2t, s3t))
+    r_pl, t_pl = kabsch3_planes(ps, qs)
+    # Pack the scoring factors straight from planes: [Rᵀt | t |
+    # vec(R) | 0] (same rows as pack_hypotheses, no (h,3,3) slicing).
+    u = tuple(
+        r_pl[j] * t_pl[0] + r_pl[3 + j] * t_pl[1]
+        + r_pl[6 + j] * t_pl[2]
+        for j in range(3)
+    )
+    w16t = jnp.stack(
+        list(u) + list(t_pl) + list(r_pl)
+        + [jnp.zeros_like(t_pl[0])]
+    )  # (16, h)
+    t_norm = (
+        t_pl[0] * t_pl[0] + t_pl[1] * t_pl[1] + t_pl[2] * t_pl[2]
+    )
+    n_consumed = jnp.sum(vv.astype(jnp.int32))
+    return w16t, t_norm, disabled, ids, n_consumed
+
+
 def feature_correspondences(
     source_features: FPFHFeatures, target_features: FPFHFeatures
 ) -> jnp.ndarray:
@@ -329,80 +431,14 @@ def ransac_registration(
         return w16t, t_norm, disabled
 
     def solve_hypotheses_rotation(kc, h, first_id):
-        """Gather-free 3-point sampling (see ``sampling`` in the main
-        docstring): E = ceil(h/n) epochs over the compacted valid-first
-        table; epoch e yields triples (i, (i+r1)%count, (i+r2)%count) for
-        every valid row i. The mod-count roll is two dynamic rolls + a
-        select (contiguous copies — no per-row gather). Returns
-        (w16t, t_norm, disabled, n_consumed): ids are first_id + the
-        cumsum of valid slot-1 rows, so each valid triple consumes
-        exactly one iteration of the max_iterations budget."""
-        n_ep = -(-h // n)
-        cm1 = jnp.maximum(count - 1, 1)
-        cm2 = jnp.maximum(count - 2, 1)
-        iota = jnp.arange(n)
-        valid1 = iota < count
-        slots1, slots2, slots3 = [], [], []
-        for e in range(n_ep):
-            u = jax.random.randint(
-                jax.random.fold_in(kc, e), (3,), 0, 1 << 30
-            )
-            a = u[0] % cm1
-            r1 = 1 + a
-            r2 = 1 + (a + 1 + u[1] % cm2) % cm1
-            # Per-epoch base rotation r0: epoch h-truncation would
-            # otherwise overweight a fixed row prefix every chunk.
-            r0 = u[2] % jnp.maximum(count, 1)
-
-            def roll_mod(r):
-                # column i -> column (i + r) mod count (i < count; junk
-                # above): one contiguous dynamic_slice of the doubled
-                # PLANE table (pq2p[:, i + r] = plane value of sorted row
-                # (i + r) mod count for every i < count when r < count —
-                # see pq2p's construction). Plane-major so the epoch
-                # concat below lands directly in the (6, h) layout the
-                # QCP plane solve consumes — the former (h, 6) slot
-                # tables needed three (h, 6)→(6, h) relayouts per chunk.
-                return jax.lax.dynamic_slice(pq2p, (0, r), (6, n))
-
-            slots1.append(roll_mod(r0))
-            slots2.append(roll_mod(jax.lax.rem(r0 + r1, count)))
-            slots3.append(roll_mod(jax.lax.rem(r0 + r2, count)))
-        s1t = jnp.concatenate(slots1, axis=1)[:, :h]
-        s2t = jnp.concatenate(slots2, axis=1)[:, :h]
-        s3t = jnp.concatenate(slots3, axis=1)[:, :h]
-        vv = jnp.concatenate([valid1] * n_ep, axis=0)[:h]
-        ids = first_id + jnp.cumsum(vv.astype(jnp.int32)) - 1
-        # count < 3: a 3-point sample cannot exist (the reference would
-        # reject every draw as duplicate) — disable all, yielding the
-        # fitness-0 identity result.
-        disabled = (~vv) | (ids >= max_iterations) | (count < 3)
-        # Plane-based QCP solve on the (6, h) slot planes: the whole
-        # ~100-op solve chain runs on (h,) planes at full lane occupancy.
-        # The (h, 3, 6)-stacked kabsch_quat alternative runs its
-        # centering/correlation micro-ops on minor-dim-3/6 arrays (≤6 of
-        # 128 lanes live). NOTE the 18-gather kabsch3_planes variant in
-        # solve_hypotheses' docstring was reverted for its GATHER cost —
-        # this path has no gathers at all (slots are contiguous rolls).
-        ps = tuple((st[0], st[1], st[2]) for st in (s1t, s2t, s3t))
-        qs = tuple((st[3], st[4], st[5]) for st in (s1t, s2t, s3t))
-        r_pl, t_pl = kabsch3_planes(ps, qs)
-        # Pack the scoring factors straight from planes: [Rᵀt | t |
-        # vec(R) | 0] (same rows as pack_hypotheses, no (h,3,3) slicing).
-        u = tuple(
-            r_pl[j] * t_pl[0] + r_pl[3 + j] * t_pl[1]
-            + r_pl[6 + j] * t_pl[2]
-            for j in range(3)
+        """Gather-free 3-point sampling: delegates to the module-level
+        :func:`solve_rotation_chunk` (shared with the hypothesis-sharded
+        path, tpu3d/parallel/ransac_sharded.py) over the ``pq2p`` table
+        built once below."""
+        w16t, t_norm, disabled, _, n_cons = solve_rotation_chunk(
+            kc, h, first_id, pq2p, count, max_iterations
         )
-        w16t = jnp.stack(
-            list(u) + list(t_pl) + list(r_pl)
-            + [jnp.zeros_like(t_pl[0])]
-        )  # (16, h)
-        t_norm = (
-            t_pl[0] * t_pl[0] + t_pl[1] * t_pl[1] + t_pl[2] * t_pl[2]
-        )
-        n_consumed = jnp.sum(vv.astype(jnp.int32))
-        return w16t, t_norm, disabled, n_consumed
+        return w16t, t_norm, disabled, n_cons
 
     # --- point-side scoring factors (hypothesis independent) ----------------
     feat_t, pq_norm = build_scoring_factors(p, q, src_mask)
@@ -434,27 +470,10 @@ def ransac_registration(
         use_rotation = use_chunked and hyp_chunk >= n
     else:
         use_rotation = False
-    if use_rotation:
-        # Mod-count roll table for the rotation sampler, PLANE-major
-        # (6, 2n): columns [0, count) hold the compacted valid rows' p‖q
-        # planes, and a second full copy starts AT column `count` (one
-        # dynamic_update_slice), so for any shift r < count the contiguous
-        # window pq2p[:, r : r + n] reads row (i + r) mod count at
-        # position i for every i < count (positions i >= count are junk
-        # either way — slot validity masks them). Built once per call
-        # (ONE small (n, 6)→(6, n) relayout); each epoch slot is then a
-        # single dynamic_slice already in the layout the plane solve
-        # consumes.
-        pq_sorted_t = pq_packed[perm].T  # (6, n)
-        pq2p = jax.lax.dynamic_update_slice(
-            jnp.concatenate(
-                [pq_sorted_t, jnp.zeros_like(pq_sorted_t)], axis=1
-            ),
-            pq_sorted_t,
-            (jnp.int32(0), count),
-        )
-    else:
-        pq2p = None
+    # Mod-count roll table (see build_rotation_table) — built once per call.
+    pq2p = (
+        build_rotation_table(pq_packed, perm, count) if use_rotation else None
+    )
 
     if use_chunked:
         # --- sequential-chunk evaluation with the reference's early exit ----
