@@ -218,6 +218,45 @@ def test_slab2_top1_sharded_exact_incl_degenerate_x(rng, mesh):
         assert (np.asarray(dsd)[~in_r] >= 1e29).all()
 
 
+def test_slab2_sharded_degenerate_x_at_16k(rng, mesh):
+    """At-scale degenerate-x exactness (VERDICT r3 item 3): 16k target
+    rows all at one x — every shard's layout collapses to a single
+    bucket, the worst case for any x-partitioned index — must still be
+    radius-exact against the brute oracle."""
+    from tpu3d.parallel.sharded_nn import (
+        build_walk_sharded,
+        slab2_top1_sharded,
+    )
+
+    n, nq, radius = 16384, 512, 0.02
+    t = rng.uniform(-0.15, 0.15, size=(n, 3)).astype(np.float32)
+    t[:, 2] = 0.7 + 0.1 * np.sin(9 * t[:, 0]) * np.cos(7 * t[:, 1])
+    t[:, 0] = 0.05
+    q = (
+        t[rng.integers(0, n, nq)]
+        + rng.normal(scale=0.002, size=(nq, 3)).astype(np.float32)
+    )
+    q[:, 0] = 0.05
+    mask = np.ones(n, bool)
+    mask[16000:] = False
+
+    sw = build_walk_sharded(jnp.asarray(t), jnp.asarray(mask), radius, mesh)
+    isd, dsd = slab2_top1_sharded(
+        sw, jnp.asarray(q), jnp.ones(nq, bool), radius, mesh
+    )
+    ix, dx = nearest_neighbor_xla(
+        jnp.asarray(q), jnp.asarray(t), jnp.asarray(mask)
+    )
+    dx = np.asarray(dx)
+    in_r = dx <= radius * radius
+    assert (np.asarray(dsd)[in_r] < 1e29).all()
+    np.testing.assert_allclose(
+        np.asarray(dsd)[in_r], dx[in_r], rtol=1e-4, atol=5e-7
+    )
+    assert (np.asarray(isd)[in_r] == np.asarray(ix)[in_r]).mean() > 0.98
+    assert (np.asarray(dsd)[~in_r] >= 1e29).all()
+
+
 def test_slab_top1_sharded_surfaces_overflow(rng, mesh):
     """Legacy 1-D sharded slab: the truncation flag is now surfaced, not
     silently dropped (VERDICT r2 weakness 2)."""
