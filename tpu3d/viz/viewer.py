@@ -160,7 +160,8 @@ setInterval(poll, 1000); poll();
 function frame(){
   canvas.width=canvas.clientWidth; canvas.height=canvas.clientHeight;
   gl.viewport(0,0,canvas.width,canvas.height);
-  gl.clearColor(0.07,0.07,0.09,1); gl.clear(gl.COLOR_BUFFER_BIT);
+  gl.clearColor(0.07,0.07,0.09,1);
+  gl.clear(gl.COLOR_BUFFER_BIT|gl.DEPTH_BUFFER_BIT);
   gl.enable(gl.DEPTH_TEST);
   const M=mat();
   for(const d of draws){
