@@ -331,7 +331,9 @@ def ransac_registration(
     chunk's cost center (~1.8 ms per 50k on a v5e; TPU gathers pay
     per ROW). 'rotation' is gather-free: valid rows are compacted once
     (one n-row gather), then epoch e pairs row i with rows
-    (i+r1_e) mod count and (i+r2_e) mod count via two dynamic rolls —
+    (i+r1_e) mod count and (i+r2_e) mod count, each mod-count roll one
+    contiguous dynamic_slice of a doubled plane-major table
+    (solve_rotation_chunk) —
     r1≠r2≠0 by construction, so every triple is distinct-index
     (duplicate rejection becomes structural) and every valid triple
     consumes exactly one iteration id (ids are a cumsum of valid rows,
