@@ -317,6 +317,13 @@ def main():
         f" {single_s * 1000:.1f} ms; agreement"
         f" {100 * single_s / max(pair_s, 1e-12):.0f}%)"
     )
+    # Methodology (VERDICT r3 item 4, characterized in METHODOLOGY_r04.json
+    # + BENCH_NOTES): the single-shot net is a LOWER BOUND, not an
+    # independent estimate — raw single-shots measure less than
+    # rt_min + true device work because the tunnel overlaps device
+    # execution with RPC transport, and the roundtrip subtraction carries
+    # the tunnel's full ±5 ms drift at K=1. The K-dispatch quotient
+    # divides both errors by K and is the headline.
 
     cpu = measure_cpu_baseline(n, ransac_iters, icp_iters)
     speedup = cpu["cpu_pair_seconds"] / pair_s

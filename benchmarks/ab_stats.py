@@ -212,8 +212,9 @@ def main():
         ),
         # Reported fitness vs exact AT THE SAME POSE (the number the
         # min_fitness gate consumes — see the exact_at_a note above). With
-        # icp_refine's final_metrics='auto' exact rescore this should sit
-        # at fp-noise; >0.02 means the reporting path regressed.
+        # icp_refine's final_metrics='auto' subset re-score at the returned
+        # pose this is the subset's sampling error (sigma ~0.4% at 16k
+        # rows); >0.02 means the reporting path regressed.
         "max_icp_fit_delta_clean": max(
             (abs(r["fit_icp_auto"] - r["fit_icp_auto_exact_at_pose"])
              for r in clean),

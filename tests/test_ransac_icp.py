@@ -441,6 +441,65 @@ def test_icp_source_subsample_matches_exact(rng):
     assert abs(float(sub.fitness) - float(exact.fitness)) < 0.1
 
 
+def test_icp_final_metrics_modes(rng):
+    """``final_metrics`` contract under src_mode subsetting: the reported
+    fitness must describe the RETURNED pose — 'exact' equals the exact
+    full-cloud fitness there; 'auto' is a subset estimate of the same
+    number (sampling sigma only); 'estimate' keeps the loop's pre-update
+    metrics. The exact-at-returned-pose yardstick is a 1-iteration
+    src_mode='exact' run (pre-update metrics at its initial pose,
+    registration.cpp:401-404), the same probe ab_stats gates on."""
+    from tpu3d.ops.fused_features import fused_prepare_features
+    from tpu3d.ops.icp import icp_refine
+    from tpu3d.types import PointCloud
+
+    voxel = 0.006
+    src_pts, tgt_pts, R, t = _rigid_pair(rng, n=4000)
+    # 0.35-voxel noise: fitness sits well below 1.0 and is pose-steep,
+    # the regime where the r3 pre-update reporting drifted.
+    tgt_noisy = tgt_pts + rng.normal(
+        0.0, 0.35 * voxel, tgt_pts.shape
+    ).astype(np.float32)
+    src, _ = fused_prepare_features(
+        PointCloud.from_numpy(src_pts, capacity=4096), jnp.float32(voxel * 5)
+    )
+    tgt, _ = fused_prepare_features(
+        PointCloud.from_numpy(tgt_noisy, capacity=4096),
+        jnp.float32(voxel * 5),
+    )
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, :3] = R
+    T0[:3, 3] = t + np.float32([0.002, -0.001, 0.001])
+    kw = dict(max_iterations=60, point_to_plane=True, nn_mode="slab",
+              src_mode="subsample", src_cap=1024)
+    thr = voxel * 2.0
+    out = {
+        m: icp_refine(src, tgt, jnp.asarray(T0), thr, final_metrics=m, **kw)
+        for m in ("auto", "exact", "estimate")
+    }
+    for m in ("exact", "estimate"):
+        np.testing.assert_allclose(
+            np.asarray(out[m].transformation),
+            np.asarray(out["auto"].transformation),
+            atol=1e-6,
+        )  # final_metrics never changes the pose
+
+    def exact_at(T):
+        probe = icp_refine(src, tgt, T, thr, max_iterations=1,
+                           point_to_plane=True, nn_mode="slab",
+                           src_mode="exact")
+        return float(probe.fitness)
+
+    yard = exact_at(out["auto"].transformation)
+    assert abs(float(out["exact"].fitness) - yard) < 1e-5, (
+        float(out["exact"].fitness), yard)
+    # 'auto' = subset estimate at the same pose: sampling error only
+    # (1024 of 4000 rows -> sigma ~1.5%; gate at the AB harness's 0.02
+    # plus headroom for the small-n test).
+    assert abs(float(out["auto"].fitness) - yard) < 0.04, (
+        float(out["auto"].fitness), yard)
+
+
 def test_subsample_modes_fall_back_on_small_clouds(rng):
     """Explicit 'subsample' modes on clouds smaller than the cap must fall
     back to exact paths instead of computing a zero stride."""
