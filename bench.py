@@ -93,14 +93,21 @@ def make_pair(n: int, seed: int = 0, voxel: float = 0.005):
 def measure_cpu_baseline(n_target: int, ransac_iters: int, icp_iters: int) -> dict:
     """Measure the oracle (CPU reference transliteration) at a small size and
     extrapolate to the benchmark size by each stage's complexity."""
+    # Multi-entry cache keyed by (n_target, ransac_iters): the quick-bench
+    # config must not clobber the 100k entry (it did in r4, forcing a
+    # re-measure under concurrent pytest load that inflated the oracle 28%
+    # and so the speedup claim). Legacy single-entry files are absorbed.
+    entries = []
     if os.path.exists(_CPU_BASELINE_PATH):
         with open(_CPU_BASELINE_PATH) as f:
             cached = json.load(f)
-        if (
-            cached.get("n_target") == n_target
-            and cached.get("ransac_iters") == ransac_iters
-        ):
-            return cached
+        entries = cached["entries"] if "entries" in cached else [cached]
+        for e in entries:
+            if (
+                e.get("n_target") == n_target
+                and e.get("ransac_iters") == ransac_iters
+            ):
+                return e
 
     from tpu3d import oracle
 
@@ -168,8 +175,9 @@ def measure_cpu_baseline(n_target: int, ransac_iters: int, icp_iters: int) -> di
             "ICP capped at 30 effective iterations (observed convergence)."
         ),
     }
+    entries.append(out)
     with open(_CPU_BASELINE_PATH, "w") as f:
-        json.dump(out, f, indent=2)
+        json.dump({"entries": entries}, f, indent=2)
     return out
 
 
