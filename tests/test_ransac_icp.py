@@ -500,6 +500,41 @@ def test_icp_final_metrics_modes(rng):
         float(out["auto"].fitness), yard)
 
 
+def test_icp_final_metrics_exact_without_slab_iteration(rng):
+    """Regression: final_metrics='exact' under subsetting must work when
+    the ITERATION backend is grid/brute (no slab index in scope) — the
+    final exact pass builds its own slab index for the one full-source
+    sweep. The reported fitness must still equal the exact full-cloud
+    number at the returned pose."""
+    from tpu3d.ops.fused_features import fused_prepare_features
+    from tpu3d.ops.icp import icp_refine
+    from tpu3d.types import PointCloud
+
+    voxel = 0.006
+    src_pts, tgt_pts, R, t = _rigid_pair(rng, n=4000)
+    src, _ = fused_prepare_features(
+        PointCloud.from_numpy(src_pts, capacity=4096), jnp.float32(voxel * 5)
+    )
+    tgt, _ = fused_prepare_features(
+        PointCloud.from_numpy(tgt_pts, capacity=4096), jnp.float32(voxel * 5)
+    )
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, :3] = R
+    T0[:3, 3] = t
+    thr = voxel * 2.0
+    res = icp_refine(
+        src, tgt, jnp.asarray(T0), thr, max_iterations=20,
+        point_to_plane=True, nn_mode="brute", src_mode="subsample",
+        src_cap=1024, final_metrics="exact",
+    )
+    probe = icp_refine(
+        src, tgt, res.transformation, thr, max_iterations=1,
+        point_to_plane=True, nn_mode="slab", src_mode="exact",
+    )
+    assert abs(float(res.fitness) - float(probe.fitness)) < 1e-5, (
+        float(res.fitness), float(probe.fitness))
+
+
 def test_subsample_modes_fall_back_on_small_clouds(rng):
     """Explicit 'subsample' modes on clouds smaller than the cap must fall
     back to exact paths instead of computing a zero stride."""

@@ -607,7 +607,16 @@ def icp_refine(
         # One full x-sort (multi-operand lax.sort: the coordinate planes
         # ride the sort network — a separate (N,3) row gather costs ~1 ms
         # at 100k rows) + one sweep whose tile count scales with the full
-        # row count (~6x the subset iteration's).
+        # row count (~6x the subset iteration's). The sweep always runs on
+        # the slab backend (exact nearest-within-threshold for any
+        # occupancy) — grid/brute iteration modes have no per-target index
+        # in scope, so build one here for the single final pass.
+        if nn_mode != "slab":
+            index = (
+                target_index
+                if target_index is not None
+                else build_icp_target(target)
+            )
         xf = transform_points(res.transformation, src_full)[:, 0]
         key = jnp.where(smask_full, xf, jnp.float32(3e4))
         skey, sx, sy, sz = jax.lax.sort(
