@@ -286,7 +286,19 @@ def build_slab2_aligned(
     block: int = 128,
     max_buckets: int = 128,
 ) -> AlignedSlab2:
-    """One argsort + cumulative-marker padding shift — no gathers.
+    """One multi-operand sort + ONE (8, Mp) gather — no scatters.
+
+    The payload planes (x, y, z, validity, original row) ride the sort
+    network itself (``lax.sort`` with num_keys=1 — the same trick the
+    keys use), and the padded layout is then assembled by a single gather
+    whose index map is closed-form from the tiny per-bucket tables:
+    padded row p of a block owned by bucket b pulls sorted row
+    ``starts[b] + (p − offsets[b])`` when that lies inside the bucket's
+    real run, else an appended sentinel column. Chip A/B
+    (benchmarks/sweep_build_variants.py, bit-identical outputs): shipped
+    scatter formulation 1.47 ms, via-sort+scatter 1.13, this gather form
+    0.68 ms at 100k rows — scatters pay ~2x a same-shape gather here and
+    the 1-D dest routing disappears entirely.
 
     ``max_buckets`` (static, ≤ 2047) bounds the bucket count; the width
     widens automatically when the x-extent needs more, which only loosens
@@ -319,9 +331,20 @@ def build_slab2_aligned(
     key = (bucket << _Y_BITS) | qy
 
     i_idx = jnp.arange(n, dtype=jnp.int32)
-    # sort_key_val: the sorted keys ride the sort network — a separate
-    # key[order] gather costs ~1 ms at 100k rows on a v5e.
-    skey, order = jax.lax.sort_key_val(key, i_idx)
+    # The payload rides the sort network: carrying the 3 coordinate
+    # planes + original row through lax.sort costs far less than routing
+    # them afterwards (a same-shape gather or scatter at 100k rows is
+    # ~0.5-1 ms on a v5e; the extra sort operands ~0.15 ms).
+    skey, sx, sy, sz, sorig = jax.lax.sort(
+        (
+            key,
+            jnp.where(mask, pts[:, 0], _SENTINEL),
+            jnp.where(mask, pts[:, 1], _SENTINEL),
+            jnp.where(mask, pts[:, 2], _SENTINEL),
+            i_idx,
+        ),
+        num_keys=1,
+    )
 
     # Real bucket boundaries: one vectorized searchsorted of the NB+1
     # static bucket keys (invalid rows key to _NB_MAX<<20 and land after
@@ -334,66 +357,54 @@ def build_slab2_aligned(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(pcounts).astype(jnp.int32)]
     )  # (NB+1,)
 
-    # Destination of each real sorted row: its index plus the padding
-    # accumulated by all PRIOR bucket runs. That shift is closed-form per
-    # bucket — offsets[b] − starts[b] — so a one-hot matvec over the
-    # ≤128-entry bucket table reads it per row with no scans and no
-    # per-row table gathers (both cost real ms at 100k rows; the matvec
-    # fuses to a VPU compare+FMA sweep). f32 is exact: values < mp < 2^24
-    # (asserted below). Sorted-row validity comes from the key itself
-    # (invalid rows key to _NB_MAX<<_Y_BITS | _Y_MAX, past every real
-    # bucket) — no mask gather.
-    svalid = skey < (_NB_MAX << _Y_BITS)
-    sb = skey >> _Y_BITS  # < max_buckets for valid rows, _NB_MAX else
-    pad_of_bucket = (offsets[:-1] - starts[:-1]).astype(jnp.float32)
-    onehot = (
-        sb[:, None] == jnp.arange(max_buckets, dtype=jnp.int32)[None, :]
-    ).astype(jnp.float32)  # invalid rows: all-zero row → padshift 0
-    padshift = (onehot @ pad_of_bucket).astype(jnp.int32)
-    dest = jnp.where(svalid, i_idx + padshift, mp)  # invalid → dropped
-    # Route the destination back to ORIGINAL row order with one i32
-    # scatter, so the payload needs NO sorted-order gathers at all (a
-    # 100k-row gather costs ~1 ms on a v5e; the scatter is the same
-    # permutation written the cheap direction).
-    dest_orig = (
-        jnp.full((n,), mp, jnp.int32)
-        .at[order].set(dest, mode="drop", unique_indices=True)
-    )
-
-    # ONE (8, Mp) column scatter instead of five 1-D scatters: rows are
-    # [x, y, z, valid, orig, pad(3)] — the f32 orig payload is exact for
-    # n + Mp < 2^24 (asserted), and padding rows keep UNIQUE out-of-bounds
-    # originals (n + position) so a later unique-promise scatter back to
-    # original rows can drop them. Payload rows are in ORIGINAL order
-    # (scattered via dest_orig).
+    # Padded layout by ONE (8, Mp) gather with a closed-form index map:
+    # padded block j (start row j·block) is owned by bucket b (the tiny
+    # offsets table broadcast-compared per block, as in
+    # aligned_block_windows), and its rows pull the contiguous sorted run
+    # starts[b] + (p − offsets[b]); rows past the bucket's real count pull
+    # the appended sentinel column n. Sorted-row validity comes from the
+    # key itself (invalid rows key past every real bucket boundary, so
+    # counts/in_run exclude them) — no mask routing at all. The f32 orig
+    # payload is exact for n + Mp < 2^24 (asserted); padding rows carry
+    # UNIQUE out-of-bounds originals (n + position) so a later
+    # unique-promise scatter back to original rows can drop them.
     assert n + mp < (1 << 24), "f32 orig payload exactness bound"
-    zrow = jnp.zeros((1, n), jnp.float32)
-    payload8 = jnp.concatenate(
+    nbk = mp // block
+    blk_start = jnp.arange(nbk, dtype=jnp.int32) * block
+    b_blk = (
+        jnp.sum(
+            offsets[None, :] <= blk_start[:, None], axis=1, dtype=jnp.int32
+        )
+        - 1
+    )
+    b_blk = jnp.clip(b_blk, 0, max_buckets - 1)
+    p_idx = blk_start[:, None] + jnp.arange(block, dtype=jnp.int32)[None, :]
+    src_row = starts[b_blk][:, None] + (p_idx - offsets[b_blk][:, None])
+    in_run = src_row < (starts[b_blk] + counts[b_blk])[:, None]
+    src_row = jnp.where(in_run, src_row, n).reshape(mp)
+
+    svalid = skey < (_NB_MAX << _Y_BITS)
+    planes8 = jnp.concatenate(
         [
-            jnp.stack(
-                [jnp.where(mask, pts[:, c], _SENTINEL) for c in range(3)]
-            ),
-            mask.astype(jnp.float32)[None],
-            i_idx.astype(jnp.float32)[None],
-            zrow, zrow, zrow,
+            sx[None], sy[None], sz[None],
+            svalid.astype(jnp.float32)[None],
+            sorig.astype(jnp.float32)[None],
+            jnp.zeros((3, n), jnp.float32),
         ],
         axis=0,
     )  # (8, n)
-    base8 = jnp.concatenate(
-        [
-            jnp.full((3, mp), _SENTINEL, jnp.float32),
-            jnp.zeros((1, mp), jnp.float32),
-            (jnp.arange(mp, dtype=jnp.float32) + n)[None],
-            jnp.zeros((3, mp), jnp.float32),
-        ],
-        axis=0,
-    )  # (8, mp)
-    padded8 = base8.at[:, dest_orig].set(payload8, mode="drop")
-    padded_points_t = padded8[:3]
+    sentinel_col = jnp.array(
+        [[_SENTINEL], [_SENTINEL], [_SENTINEL], [0.0], [0.0],
+         [0.0], [0.0], [0.0]],
+        jnp.float32,
+    )
+    planes8 = jnp.concatenate([planes8, sentinel_col], axis=1)  # (8, n+1)
+    padded8 = planes8[:, src_row]
+    pos = jnp.arange(mp, dtype=jnp.float32) + n
     valid_padded = padded8[3] > 0.5
-    padded_orig = padded8[4].astype(jnp.int32)
+    padded_orig = jnp.where(valid_padded, padded8[4], pos).astype(jnp.int32)
     return AlignedSlab2(
-        padded_points_t=padded_points_t,
+        padded_points_t=padded8[:3],
         padded_orig=padded_orig,
         valid_padded=valid_padded,
         sorted_key=skey,
