@@ -554,11 +554,21 @@ def icp_refine(
         x0 = transform_points(initial_transform.astype(jnp.float32), src_pts)[
             :, 0
         ]
-        order = jnp.argsort(jnp.where(smask, x0, jnp.float32(3e4)))
+        # Payload rides the sort network (stable, like argsort) — at the
+        # src_mode='exact' 100k scale the two [order] gathers this
+        # replaces cost ~1 ms each on a v5e (see ops/slab2.py).
+        _, ssx, ssy, ssz, ssm = jax.lax.sort(
+            (
+                jnp.where(smask, x0, jnp.float32(3e4)),
+                src_pts[:, 0], src_pts[:, 1], src_pts[:, 2],
+                smask.astype(jnp.float32),
+            ),
+            num_keys=1,
+        )
         stats = fused_slab_stats_fn(
             index,
-            src_pts[order],
-            smask[order],
+            jnp.stack([ssx, ssy, ssz], axis=1),
+            ssm > 0.5,
             thr,
             use_p2l,
             block=block,

@@ -128,18 +128,25 @@ def build_slab2(
     qy = jnp.where(mask, _qy_of(pts[:, 1], y0, y_scale), _Y_MAX)
     key = (bucket << _Y_BITS) | qy  # ≤ 2^31 − 1, valid i32
 
-    # sort_key_val: the sorted keys ride the sort network — a separate
-    # key[order] gather costs ~1 ms at 100k rows on a v5e.
-    skey, order = jax.lax.sort_key_val(
-        key, jnp.arange(pts.shape[0], dtype=jnp.int32)
+    # The payload rides the sort network (multi-operand lax.sort, stable
+    # like sort_key_val) — a separate pts[order] gather costs ~1 ms at
+    # 100k rows on a v5e (chip A/B in the aligned build's docstring).
+    skey, sx, sy, sz, order = jax.lax.sort(
+        (
+            key,
+            jnp.where(mask, pts[:, 0], _SENTINEL),
+            jnp.where(mask, pts[:, 1], _SENTINEL),
+            jnp.where(mask, pts[:, 2], _SENTINEL),
+            jnp.arange(pts.shape[0], dtype=jnp.int32),
+        ),
+        num_keys=1,
     )
     svalid = skey < (_NB_MAX << _Y_BITS)  # validity from the key itself
-    sorted_pts = jnp.where(
-        svalid[:, None], pts[order], _SENTINEL
-    )  # sentinel coords: invalid rows miss every d² gate with no mask DMA
+    # sentinel coords: invalid rows miss every d² gate with no mask DMA
+    sorted_pts = jnp.stack([sx, sy, sz], axis=1)
     return Slab2Index(
         sorted_points=sorted_pts,
-        sorted_points_t=sorted_pts.T,
+        sorted_points_t=jnp.stack([sx, sy, sz], axis=0),
         sorted_orig=order,
         sorted_key=skey,
         valid_sorted=svalid,

@@ -64,14 +64,27 @@ def x_partition(
     ``device_put`` with ``P('shard')``. orig_rows maps each output row to
     its input row (-1 on padding) so callers can scatter results back."""
     n = points.shape[0]
-    key = jnp.where(mask, points[:, 0], jnp.float32(3e4))
-    order = jnp.argsort(key)
-    pad = (-n) % n_shards
-    pts = jnp.pad(points[order], ((0, pad), (0, 0)), constant_values=3e4)
-    msk = jnp.pad(mask[order], (0, pad))
-    orig = jnp.pad(
-        order.astype(jnp.int32), (0, pad), constant_values=-1
+    pts32 = points.astype(jnp.float32)
+    key = jnp.where(mask, pts32[:, 0], jnp.float32(3e4))
+    # Payload rides the sort network (stable, like argsort) — cheaper than
+    # the [order] row gathers at 1M-row scale (see ops/slab2.py).
+    _, sx, sy, sz, sm, order = jax.lax.sort(
+        (
+            key,
+            pts32[:, 0], pts32[:, 1], pts32[:, 2],
+            mask.astype(jnp.float32),
+            jnp.arange(n, dtype=jnp.int32),
+        ),
+        num_keys=1,
     )
+    pad = (-n) % n_shards
+    pts = jnp.pad(
+        jnp.stack([sx, sy, sz], axis=1),
+        ((0, pad), (0, 0)),
+        constant_values=3e4,
+    )
+    msk = jnp.pad(sm > 0.5, (0, pad))
+    orig = jnp.pad(order, (0, pad), constant_values=-1)
     return pts, msk, orig
 
 
