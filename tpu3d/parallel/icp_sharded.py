@@ -93,9 +93,18 @@ def icp_refine_sharded(
         x0 = transform_points(
             initial_transform.astype(jnp.float32), src_pts
         )[:, 0]
-        order = jnp.argsort(jnp.where(smask, x0, jnp.float32(3e4)))
-        src_pts = src_pts[order]
-        smask = smask[order]
+        # Payload rides the sort network (stable, like argsort) — cheaper
+        # than the two [order] row gathers it replaces (see ops/slab2.py).
+        _, ssx, ssy, ssz, ssm = jax.lax.sort(
+            (
+                jnp.where(smask, x0, jnp.float32(3e4)),
+                src_pts[:, 0], src_pts[:, 1], src_pts[:, 2],
+                smask.astype(jnp.float32),
+            ),
+            num_keys=1,
+        )
+        src_pts = jnp.stack([ssx, ssy, ssz], axis=1)
+        smask = ssm > 0.5
 
         def corr_fn(P):
             return slab_top1_sharded(
