@@ -17,7 +17,8 @@ and extrapolated by the known O(N²)/O(H·N) scaling of each stage; the
 measurement is cached in BASELINE_CPU.json with its derivation.
 
 Env knobs: TPU3D_BENCH_N (default 100352), TPU3D_BENCH_RANSAC (default
-100000), TPU3D_BENCH_ICP (default 200), TPU3D_BENCH_CORR_CAP (default
+100000), TPU3D_BENCH_ICP (default 200), TPU3D_BENCH_EST_CAP (default
+2048), TPU3D_BENCH_CORR_CAP (default
 4096), TPU3D_BENCH_SRC_CAP (default 8192).
 
 The correspondence/ICP-source subset caps run TIGHTER here than the
@@ -62,6 +63,24 @@ def bench_caps() -> tuple[int, int]:
         int(os.environ.get("TPU3D_BENCH_CORR_CAP", "2048")),
         int(os.environ.get("TPU3D_BENCH_SRC_CAP", "4096")),
     )
+
+
+def bench_est_cap() -> int:
+    """RANSAC in-chunk estimate-scoring cap for the headline config
+    (ops/ransac.py ``est_cap``; engages when corr rows >= 2*est_cap).
+    At the current corr_cap=2048 the library default of 2048 keeps the
+    estimate stage OFF (all 100k hypotheses exact-score the 2048-row
+    subset); 1024 re-enables est-on-1024 + exact-top-32 rescore — the
+    same two-stage move that took 12.4→10.9 ms at the 4096 caps.
+    MEASURED (same-session chip A/B, K-dispatch): 1024 → 7.7 ms/pair vs
+    2048 → 6.9 — a 0.8 ms REGRESSION; at a 2048-row scoring plane the
+    estimate stage's extra factor build + finalist rescore outweigh the
+    halved scoring matmul (the 4096-cap win does not extend down).
+    Default stays 2048 (estimate stage off at bench caps). Shared with
+    benchmarks/ab_stats.py (arm 4/5) and benchmarks/robustness.py so the
+    quality artifacts validate the exact scoring configuration the bench
+    runs."""
+    return int(os.environ.get("TPU3D_BENCH_EST_CAP", "2048"))
 
 
 def make_pair(n: int, seed: int = 0, voxel: float = 0.005):
@@ -186,6 +205,7 @@ def main():
     ransac_iters = int(os.environ.get("TPU3D_BENCH_RANSAC", "100000"))
     icp_iters = int(os.environ.get("TPU3D_BENCH_ICP", "200"))
     corr_cap, src_cap = bench_caps()
+    est_cap = bench_est_cap()
 
     import jax
     import jax.numpy as jnp
@@ -245,6 +265,7 @@ def main():
             coarse = ransac_registration(
                 sub_c, tgt, sub_f, tgt_feat, voxel,
                 max_iterations=ransac_iters, corr_mode="exact",
+                est_cap=est_cap,
             )
         else:
             source, sfeat = fused_prepare_features(
@@ -253,6 +274,7 @@ def main():
             coarse = ransac_registration(
                 source, tgt, sfeat, tgt_feat, voxel,
                 max_iterations=ransac_iters, corr_cap=corr_cap,
+                est_cap=est_cap,
             )
         refined = icp_refine(
             source, tgt, coarse.transformation, voxel * 0.4,

@@ -32,7 +32,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import jax.numpy as jnp  # noqa: E402
 
-from bench import bench_caps, make_pair  # noqa: E402
+from bench import bench_caps, bench_est_cap, make_pair  # noqa: E402
 from tpu3d.ops.fused_features import (  # noqa: E402
     fused_prepare_features,
     fused_prepare_sparse,
@@ -55,6 +55,7 @@ def main():
     # Headline-config caps (bench.py bench_caps) — the sparse-path items
     # (4)/(5) below validate the exact configuration the bench times.
     corr_cap, src_cap = bench_caps()
+    est_cap = bench_est_cap()
 
     rows = []
     for seed in range(n_seeds):
@@ -119,6 +120,7 @@ def main():
         coarse_s = ransac_registration(
             sub_c, tgt_p, sub_f, tgt_f, voxel, max_iterations=100000,
             seed=seed, confidence=confidence, corr_mode="exact",
+            est_cap=est_cap,
         )  # sampling='auto' -> gather-free rotation draws on this path
         # (5): sampling design A/B — the SAME subset/correspondences with
         # the reference-shaped iid 'gather' draws. Isolates the rotation
@@ -126,7 +128,7 @@ def main():
         coarse_g = ransac_registration(
             sub_c, tgt_p, sub_f, tgt_f, voxel, max_iterations=100000,
             seed=seed, confidence=confidence, corr_mode="exact",
-            sampling="gather",
+            sampling="gather", est_cap=est_cap,
         )
         ref_s = icp_refine(src, tgt_p, coarse_s.transformation,
                            voxel * 0.4, max_iterations=200,

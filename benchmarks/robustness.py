@@ -32,7 +32,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import jax.numpy as jnp  # noqa: E402
 
-from bench import bench_caps, make_pair  # noqa: E402
+from bench import bench_caps, bench_est_cap, make_pair  # noqa: E402
 from tpu3d.ops.fused_features import fused_prepare_features  # noqa: E402
 from tpu3d.ops.icp import icp_refine  # noqa: E402
 from tpu3d.ops.ransac import ransac_registration  # noqa: E402
@@ -70,7 +70,7 @@ def run_scenario(n, seed, noise_frac, overlap_cut, voxel=0.002):
     corr_cap, src_cap = bench_caps()
     coarse = ransac_registration(
         src_p, tgt_p, src_f, tgt_f, voxel, max_iterations=100000,
-        corr_cap=corr_cap,
+        corr_cap=corr_cap, est_cap=bench_est_cap(),
     )
     refined = icp_refine(
         src_p, tgt_p, coarse.transformation, voxel * 0.4,
