@@ -82,6 +82,24 @@ class RegistrationConfig:
 
 
 @dataclasses.dataclass
+class ParallelConfig:
+    """Multi-chip routing (TPU extension — the reference is single-GPU).
+
+    ``mode``: 'off' (default) single-device; 'on' forces the sharded
+    registration stack over a device mesh (falls back single-device with a
+    message when <2 devices are visible); 'auto' enables it whenever ≥2
+    devices are visible.
+    ``devices``: mesh size (0 = all visible devices).
+    ``halo``: sharded-prepare boundary strip rows (0 = auto); see
+    tpu3d/parallel/prepare_sharded.py.
+    """
+
+    mode: str = "off"  # off|on|auto
+    devices: int = 0
+    halo: int = 0
+
+
+@dataclasses.dataclass
 class RobotConfig:
     ip: str = "192.168.1.184"
     speed: int = 80
@@ -104,6 +122,9 @@ class PipelineConfig:
     depth: DepthConfig = dataclasses.field(default_factory=DepthConfig)
     registration: RegistrationConfig = dataclasses.field(
         default_factory=RegistrationConfig
+    )
+    parallel: ParallelConfig = dataclasses.field(
+        default_factory=ParallelConfig
     )
     robot: RobotConfig = dataclasses.field(default_factory=RobotConfig)
     segmentation: SegmentationConfig = dataclasses.field(
@@ -191,6 +212,16 @@ def load_config(path: Optional[str] = None) -> PipelineConfig:
             config.registration.prepare_mode = str(
                 get(reg, "prepare_mode", "auto")
             )
+
+        par = y.get("parallel") or {}
+        if "parallel" in y:
+            pm = str(get(par, "mode", "off"))
+            # YAML 1.1 reads bare on/off as booleans.
+            if isinstance(get(par, "mode", "off"), bool):
+                pm = "on" if get(par, "mode", "off") else "off"
+            config.parallel.mode = pm
+            config.parallel.devices = int(get(par, "devices", 0))
+            config.parallel.halo = int(get(par, "halo", 0))
 
         rob = y.get("robot") or {}
         if "robot" in y:

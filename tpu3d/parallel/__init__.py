@@ -8,6 +8,12 @@ from tpu3d.parallel.ransac_sharded import (
     feature_correspondences_sharded,
     ransac_registration_sharded,
 )
+from tpu3d.parallel.register_sharded import (
+    parallel_mesh,
+    prepare_features_sharded,
+    register_pair_sharded,
+    register_prepared_sharded,
+)
 from tpu3d.parallel.sharded_nn import (
     build_walk_sharded,
     nearest_neighbor_sharded,
@@ -20,8 +26,12 @@ __all__ = [
     "icp_refine_sharded",
     "make_mesh",
     "nearest_neighbor_sharded",
+    "parallel_mesh",
+    "prepare_features_sharded",
     "ransac_registration_sharded",
     "register_batch",
+    "register_pair_sharded",
+    "register_prepared_sharded",
     "replicated",
     "row_sharded",
     "shard_instances",

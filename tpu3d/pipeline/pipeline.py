@@ -64,9 +64,23 @@ class Pipeline:
         # model is prepared) so instance clouds never mix fused and gather
         # FPFH against the model's.
         self._neighbor_mode: str = "auto"
+        # Multi-chip routing (config `parallel:` block): when a mesh
+        # resolves, every instance registration runs the distributed stack
+        # (tpu3d/parallel/register_sharded.py) instead of the single-device
+        # ops. Counter is a test/diagnostic hook.
+        from tpu3d.parallel.register_sharded import parallel_mesh
+
+        self._mesh = parallel_mesh(config.parallel)
+        self._sharded_registrations = 0
         print(
             f"Pipeline created (threads={config.num_threads},"
-            f" accelerator={'on' if config.use_gpu else 'off'})"
+            f" accelerator={'on' if config.use_gpu else 'off'}"
+            + (
+                f", mesh={self._mesh.devices.size}x'shard'"
+                if self._mesh is not None
+                else ""
+            )
+            + ")"
         )
 
     # ---------------------------------------------------------------- stage 4
@@ -153,6 +167,16 @@ class Pipeline:
                 cfg.registration, self._neighbor_mode, down.capacity
             ):
                 return (down, None)
+            if self._mesh is not None and self._neighbor_mode == "fused":
+                from tpu3d.parallel.register_sharded import (
+                    prepare_features_sharded,
+                )
+
+                c, f, _ = prepare_features_sharded(
+                    down, cfg.registration, self._mesh,
+                    halo=cfg.parallel.halo or None,
+                )
+                return (c, f)
             return prepare_features(
                 down, cfg.registration, self._neighbor_mode
             )
@@ -182,6 +206,35 @@ class Pipeline:
                     interpret=not on_tpu(),
                 )
                 corr_mode = "exact"
+            if self._mesh is not None:
+                # `parallel:` block active — the distributed stack (sharded
+                # feature NN + hypothesis-sharded RANSAC + sharded-target
+                # ICP). RANSAC consumes the (possibly sparse-subset) view;
+                # ICP always refines the full source cloud.
+                from tpu3d.parallel.register_sharded import (
+                    register_prepared_sharded,
+                )
+
+                refined, coarse = register_prepared_sharded(
+                    ransac_src,
+                    ref_cloud,
+                    ransac_feat,
+                    ref_features,
+                    cfg.registration,
+                    self._mesh,
+                    corr_mode=corr_mode,
+                    icp_source=source,
+                )
+                self._sharded_registrations += 1
+                fitness = float(refined.fitness)  # sync — faults surface
+                print(
+                    f"RANSAC result: fitness={float(coarse.fitness):.4f},"
+                    f" RMSE={float(coarse.rmse):.6f} [sharded x"
+                    f"{self._mesh.devices.size}]"
+                )
+                return self._finish_instance(
+                    refined, coarse, instance_id, t0
+                )
             coarse = ransac_registration(
                 ransac_src,
                 ref_cloud,
@@ -220,37 +273,46 @@ class Pipeline:
                     source, ref_cloud, coarse.transformation, icp_threshold
                 )
                 fitness = float(refined.fitness)
-            print(
-                f"ICP result: fitness={fitness:.4f},"
-                f" RMSE={float(refined.rmse):.6f}"
-            )
-            if fitness < cfg.registration.min_fitness:
-                # Warn but still use the pose, like pipeline.cpp:131-134.
-                print(f"Instance {instance_id}: low fitness {fitness:.4f}")
-
-            T_camera_object = np.asarray(
-                invert_transform(refined.transformation)
-            )
-            T_world_object = cfg.camera_extrinsics @ T_camera_object
-            self.instance_results.append(
-                {
-                    "instance_id": instance_id,
-                    "fitness": fitness,
-                    "rmse": float(refined.rmse),
-                    "coarse_fitness": float(coarse.fitness),
-                    "T_world_object": T_world_object,
-                }
-            )
-
-            ms = (time.perf_counter() - t0) * 1000.0
-            print(
-                f"Instance {instance_id} done in {ms:.1f} ms"
-                f" (fitness={fitness:.4f})"
-            )
-            return T_world_object
+            return self._finish_instance(refined, coarse, instance_id, t0)
         except Exception as e:  # degrade like pipeline.cpp:146-149
             print(f"Instance {instance_id} error: {e}")
             return None
+
+    def _finish_instance(
+        self, refined, coarse, instance_id, t0
+    ) -> np.ndarray:
+        """Common result tail: metrics print, min_fitness warn
+        (pipeline.cpp:131-134 — warn but still use the pose), camera→world
+        pose and the per-instance record."""
+        cfg = self.config
+        fitness = float(refined.fitness)
+        print(
+            f"ICP result: fitness={fitness:.4f},"
+            f" RMSE={float(refined.rmse):.6f}"
+        )
+        if fitness < cfg.registration.min_fitness:
+            print(f"Instance {instance_id}: low fitness {fitness:.4f}")
+
+        T_camera_object = np.asarray(
+            invert_transform(refined.transformation)
+        )
+        T_world_object = cfg.camera_extrinsics @ T_camera_object
+        self.instance_results.append(
+            {
+                "instance_id": instance_id,
+                "fitness": fitness,
+                "rmse": float(refined.rmse),
+                "coarse_fitness": float(coarse.fitness),
+                "T_world_object": T_world_object,
+            }
+        )
+
+        ms = (time.perf_counter() - t0) * 1000.0
+        print(
+            f"Instance {instance_id} done in {ms:.1f} ms"
+            f" (fitness={fitness:.4f})"
+        )
+        return T_world_object
 
     def _register_instances(
         self, prepared, ref_cloud, ref_features
@@ -277,7 +339,11 @@ class Pipeline:
 
         self._batched_groups = 0  # test/diagnostic hook
         for cap, ids in sorted(groups.items()):
-            if len(ids) >= 2:
+            # With a `parallel:` mesh active the mesh IS the parallel axis —
+            # each instance's RANSAC/ICP already spans every device, so the
+            # vmap fan-out (which would need a 2-D ('inst','shard') mesh) is
+            # skipped; instances run sequentially, each fully distributed.
+            if len(ids) >= 2 and self._mesh is None:
                 try:
                     poses_b = self._register_batch_group(
                         [prepared[i] for i in ids], ids, ref_cloud,
@@ -531,9 +597,21 @@ class Pipeline:
             capacity=cfg.registration.max_points or None,
         )
         self._neighbor_mode = resolve_neighbor_mode(ref_down.capacity)
-        ref_cloud, ref_features = prepare_features(
-            ref_down, cfg.registration, self._neighbor_mode
-        )
+        if self._mesh is not None and self._neighbor_mode == "fused":
+            # Distributed halo-exchange prepare for the reference model
+            # (falls back single-device inside when the halo check fails).
+            from tpu3d.parallel.register_sharded import (
+                prepare_features_sharded,
+            )
+
+            ref_cloud, ref_features, _ = prepare_features_sharded(
+                ref_down, cfg.registration, self._mesh,
+                halo=cfg.parallel.halo or None,
+            )
+        else:
+            ref_cloud, ref_features = prepare_features(
+                ref_down, cfg.registration, self._neighbor_mode
+            )
 
         if cfg.visualization != "none":
             self.viewer = SceneViewer()

@@ -254,11 +254,21 @@ def register_pair(
     source: PointCloud,
     target: PointCloud,
     config: Optional[RegistrationConfig] = None,
+    mesh=None,
 ) -> tuple[RegistrationResult, RegistrationResult]:
     """Full pipeline on two raw clouds: the public "register a cloud pair →
-    4x4 pose + fitness + rmse" API (BASELINE.json north_star)."""
+    4x4 pose + fitness + rmse" API (BASELINE.json north_star).
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a 'shard' axis of ≥2 devices
+    routes every stage through the distributed stack
+    (tpu3d/parallel/register_sharded.py) — the multi-chip product surface.
+    """
     if config is None:
         config = RegistrationConfig()
+    if mesh is not None and mesh.devices.size >= 2:
+        from tpu3d.parallel.register_sharded import register_pair_sharded
+
+        return register_pair_sharded(source, target, config, mesh)
     src_down = downsample_bucketed(source, config)
     tgt_down = downsample_bucketed(target, config)
     # One descriptor variant for BOTH clouds — a pair straddling the fused
