@@ -535,6 +535,63 @@ def test_icp_final_metrics_exact_without_slab_iteration(rng):
         float(res.fitness), float(probe.fitness))
 
 
+def test_icp_adaptive_polish_borderline_noisy(rng):
+    """Adaptive exact polish (VERDICT r4 item 3): on a noisy borderline
+    scene (converged fitness < 0.5) the subset arm must continue with
+    full-source exact iterations and report exact metrics — closing the
+    subset-vs-exact pose/fitness divergence the min_fitness gate consumes.
+    On clean scenes the polish branch must not execute at all."""
+    from tpu3d.ops.fused_features import fused_prepare_features
+    from tpu3d.ops.icp import icp_refine
+    from tpu3d.types import PointCloud
+
+    voxel = 0.006
+    src_pts, tgt_pts, R, t = _rigid_pair(rng, n=4000)
+    tgt_noisy = tgt_pts + rng.normal(
+        0.0, 0.35 * voxel, tgt_pts.shape
+    ).astype(np.float32)
+    src, _ = fused_prepare_features(
+        PointCloud.from_numpy(src_pts, capacity=4096), jnp.float32(voxel * 5)
+    )
+    tgt, _ = fused_prepare_features(
+        PointCloud.from_numpy(tgt_noisy, capacity=4096),
+        jnp.float32(voxel * 5),
+    )
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, :3] = R
+    T0[:3, 3] = t + np.float32([0.002, -0.001, 0.001])
+    # The pipeline's REAL distance factor (0.4 voxel) under 0.35-voxel
+    # noise: fitness lands ~0.3-0.45 — the borderline regime.
+    thr = voxel * 0.4
+    kw = dict(max_iterations=60, point_to_plane=True, nn_mode="slab",
+              src_mode="subsample", src_cap=1024)
+    a_on = icp_refine(src, tgt, jnp.asarray(T0), thr, polish="auto", **kw)
+    x = icp_refine(src, tgt, jnp.asarray(T0), thr, max_iterations=60,
+                   point_to_plane=True, nn_mode="slab", src_mode="exact")
+    assert float(a_on.fitness) < 0.5  # the scene IS borderline
+    # Polished metrics are exact-class at the polished pose…
+    probe = icp_refine(src, tgt, a_on.transformation, thr, max_iterations=1,
+                       point_to_plane=True, nn_mode="slab", src_mode="exact")
+    assert abs(float(a_on.fitness) - float(probe.fitness)) < 1e-5
+    # …and the polished arm lands in the exact arm's fitness class (the
+    # cross-pipeline gate ab_stats now enforces at 100k/20 seeds).
+    assert abs(float(a_on.fitness) - float(x.fitness)) <= 0.05, (
+        float(a_on.fitness), float(x.fitness))
+
+    # Clean scene: fitness ~1.0 -> the cond's polish branch never runs and
+    # the result is bit-identical to polish='off'.
+    tgt_c, _ = fused_prepare_features(
+        PointCloud.from_numpy(tgt_pts, capacity=4096), jnp.float32(voxel * 5)
+    )
+    c_off = icp_refine(src, tgt_c, jnp.asarray(T0), thr, polish="off", **kw)
+    c_on = icp_refine(src, tgt_c, jnp.asarray(T0), thr, polish="auto", **kw)
+    assert float(c_on.fitness) > 0.9
+    assert np.array_equal(
+        np.asarray(c_off.transformation), np.asarray(c_on.transformation)
+    )
+    assert float(c_off.fitness) == float(c_on.fitness)
+
+
 def test_subsample_modes_fall_back_on_small_clouds(rng):
     """Explicit 'subsample' modes on clouds smaller than the cap must fall
     back to exact paths instead of computing a zero stride."""

@@ -436,7 +436,7 @@ def fused_slab_stats_fn(
     jax.jit,
     static_argnames=("max_iterations", "point_to_plane", "nn_mode",
                      "cell_capacity", "block", "sub", "src_cap", "src_mode",
-                     "final_metrics"),
+                     "final_metrics", "polish", "polish_iters"),
 )
 def icp_refine(
     source: PointCloud,
@@ -453,6 +453,9 @@ def icp_refine(
     src_cap: int = 16384,
     src_mode: str = "auto",
     final_metrics: str = "auto",
+    polish: str = "auto",
+    polish_iters: int = 8,
+    polish_threshold: float = 0.5,
 ) -> RegistrationResult:
     """``nn_mode`` selects the correspondence backend — ALL exact for ICP's
     semantics (matches beyond the threshold are rejected anyway,
@@ -497,7 +500,20 @@ def icp_refine(
     Semantic note: 'auto'/'exact' metrics describe the RETURNED
     (post-update) transform, where the reference reports the pre-update
     metrics of its last iteration — at |Δrmse| < 1e-6 convergence the
-    difference is below the estimate noise either way."""
+    difference is below the estimate noise either way.
+
+    ``polish``/``polish_iters``/``polish_threshold``: adaptive exact
+    refinement for borderline scenes (VERDICT r4 item 3). On noisy scenes
+    the subset iteration's Gauss-Newton minimum wanders inside the
+    0.4-voxel inlier tube more than the full-source one (fewer residuals
+    averaging the noise), and fitness is pose-steep there — the
+    ``min_fitness`` warn decision (pipeline.cpp:131-134) could diverge
+    from the reference's. 'auto' (default): when the source was subsetted
+    AND the converged fitness lands below ``polish_threshold``, continue
+    with up to ``polish_iters`` FULL-SOURCE exact iterations from the
+    subset pose and report exact metrics at the polished pose. The branch
+    (including its full-source x-sort) runs under ``lax.cond`` — clean
+    scenes (fitness ≈ 1) pay zero device time. 'off' disables."""
     thr = jnp.asarray(distance_threshold, jnp.float32)
     use_p2l = point_to_plane and target.normals is not None  # trace-time, like
     # the reference's `point_to_plane && target.hasNormals()` (:343, :365)
@@ -650,5 +666,55 @@ def icp_refine(
                 jnp.sqrt(s.sum_d2 / jnp.maximum(s.n_corr, 1.0)),
                 0.0,
             ),
+        )
+
+    if use_sub and polish == "auto" and polish_iters > 0:
+        # Adaptive exact polish (docstring): EVERYTHING — the full-source
+        # x-sort included — lives inside the cond's true branch, so the
+        # clean-scene bench path pays nothing.
+        if nn_mode == "slab":
+            index_p = index
+        else:
+            index_p = (
+                target_index
+                if target_index is not None
+                else build_icp_target(target)
+            )
+        n_valid_full = jnp.maximum(
+            jnp.sum(smask_full.astype(jnp.float32)), 1.0
+        )
+
+        def do_polish(res0):
+            xf = transform_points(res0.transformation, src_full)[:, 0]
+            key = jnp.where(smask_full, xf, jnp.float32(3e4))
+            skey, sx, sy, sz = jax.lax.sort(
+                (key, src_full[:, 0], src_full[:, 1], src_full[:, 2]),
+                num_keys=1,
+            )
+            sm = skey < jnp.float32(2.9e4)
+            stats_p = fused_slab_stats_fn(
+                index_p, jnp.stack([sx, sy, sz], axis=1), sm, thr, use_p2l,
+                block=block, sub=sub,
+            )
+            r2 = icp_loop(
+                stats_p, n_valid_full, res0.transformation, polish_iters,
+                use_p2l,
+            )
+            s2 = stats_p(r2.transformation)
+            return RegistrationResult(
+                transformation=r2.transformation,
+                fitness=s2.n_corr / n_valid_full,
+                rmse=jnp.where(
+                    s2.n_corr > 0,
+                    jnp.sqrt(s2.sum_d2 / jnp.maximum(s2.n_corr, 1.0)),
+                    0.0,
+                ),
+            )
+
+        res = jax.lax.cond(
+            res.fitness < jnp.float32(polish_threshold),
+            do_polish,
+            lambda r: r,
+            res,
         )
     return res

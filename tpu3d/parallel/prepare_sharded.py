@@ -173,7 +173,18 @@ def fused_prepare_sharded(
         l_min = jnp.min(jnp.where(left_m, left_p[:, 0], big))
         r_max = jnp.max(jnp.where(right_m, right_p[:, 0], -big))
         ok_l = (sid == 0) | (l_min <= own_min - 3.0 * r)
-        ok_r = (sid == n_shards - 1) | (r_max >= own_max + 3.0 * r)
+        # Right side: exact also when the received halo strip contains an
+        # INVALID row — invalid rows sort to the global tail (x_partition
+        # keys them 3e4), so an invalid row inside the halo proves the
+        # whole valid sequence ends within it: no valid point exists
+        # beyond the halo to truncate. (This is the common shape at the
+        # top x-extreme: a mostly-padding last shard whose few valid rows
+        # sit entirely inside its left neighbor's halo.)
+        ok_r = (
+            (sid == n_shards - 1)
+            | (r_max >= own_max + 3.0 * r)
+            | jnp.logical_not(jnp.all(right_m))
+        )
         # A shard with no valid rows (global padding tail) is trivially ok.
         ok_shard = (~has_own) | (ok_l & ok_r)
         ok = jnp.min(

@@ -190,11 +190,18 @@ def register_pair_sharded(
     mesh: Optional[Mesh] = None,
     axis: str = "shard",
     halo: Optional[int] = None,
-) -> tuple[RegistrationResult, RegistrationResult]:
+    return_info: bool = False,
+):
     """Full distributed registration of two raw clouds: every stage —
     prepare sweeps, feature NN, RANSAC hypotheses, ICP correspondence
     search — runs over the mesh. The public multi-chip entry
-    (``register_pair(..., mesh=...)`` routes here)."""
+    (``register_pair(..., mesh=...)`` routes here).
+
+    ``return_info=True`` additionally returns a dict with the routing
+    facts a validation harness needs to assert (descriptor ``mode``, and
+    per-cloud ``src_prepare_distributed``/``tgt_prepare_distributed`` —
+    False means the halo exactness check demoted that cloud's prepare to
+    the single-device engine)."""
     from tpu3d.registration import (
         downsample_bucketed,
         prepare_features,
@@ -214,17 +221,26 @@ def register_pair_sharded(
     # pair resolves fused; gather-class pairs prep on one device and still
     # distribute RANSAC + ICP.
     mode = resolve_neighbor_mode(src_down.capacity, tgt_down.capacity)
+    src_dist = tgt_dist = False
     if mode == "fused":
-        src_p, sf, _ = prepare_features_sharded(
+        src_p, sf, src_dist = prepare_features_sharded(
             src_down, config, mesh, axis, halo
         )
-        tgt_p, tf, _ = prepare_features_sharded(
+        tgt_p, tf, tgt_dist = prepare_features_sharded(
             tgt_down, config, mesh, axis, halo
         )
     else:
         src_p, sf = prepare_features(src_down, config, mode)
         tgt_p, tf = prepare_features(tgt_down, config, mode)
     src_p, sf = pad_cloud_to_multiple(src_p, sf, n_shards)
-    return register_prepared_sharded(
+    refined, coarse = register_prepared_sharded(
         src_p, tgt_p, sf, tf, config, mesh, axis
     )
+    if return_info:
+        return refined, coarse, {
+            "mode": mode,
+            "src_prepare_distributed": src_dist,
+            "tgt_prepare_distributed": tgt_dist,
+            "n_shards": n_shards,
+        }
+    return refined, coarse
