@@ -218,6 +218,26 @@ def main():
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     log(f"pair size n={n}, ransac={ransac_iters}, icp<= {icp_iters}")
 
+    # Tunnel-health gate (VERDICT r4 item 5): a session whose roundtrip
+    # spread exceeds ~3 ms cannot produce trustworthy net timings — the
+    # min-minus-min subtraction carries the drift. Default: loud warning
+    # (the driver still needs its JSON line); TPU3D_BENCH_REQUIRE_HEALTHY=1
+    # aborts instead (artifact-minting sessions should set it).
+    from tpu3d.utils.timing import roundtrip_stats
+
+    health = roundtrip_stats()
+    log(f"tunnel health: rt min/med/max "
+        f"{health['min_ms']}/{health['median_ms']}/{health['max_ms']} ms, "
+        f"spread {health['spread_ms']} ms → "
+        f"{'healthy' if health['healthy'] else 'DEGRADED'}")
+    if not health["healthy"]:
+        log("WARNING: tunnel DEGRADED — net timings this session are "
+            "unreliable; rerun in a healthy session before recording "
+            "artifacts")
+        if os.environ.get("TPU3D_BENCH_REQUIRE_HEALTHY") == "1":
+            log("TPU3D_BENCH_REQUIRE_HEALTHY=1 → aborting")
+            sys.exit(3)
+
     voxel = 0.002
     src_np, tgt_np, R_true, t_true = make_pair(n)
     from tpu3d.ops.fused_features import fused_prepare_features
@@ -374,6 +394,12 @@ def main():
         flush=True,
     )
 
+    # Per-stage MFU (VERDICT r4 item 7): reported from the newest checked-in
+    # MFU_r*.json (refreshed on chip by benchmarks/mfu.py — the in-context
+    # prefix methodology) so every bench run carries the numbers without
+    # paying the 4 extra prefix compiles here.
+    report_mfu(log)
+
     # EXACT envelope (VERDICT r3 item 9): dense prepare + corr_mode='exact'
     # + src_mode='exact' + single-stage scoring — the zero-statistical-
     # shortcut configuration (PARITY.md "exactness knobs"). Recorded every
@@ -433,6 +459,33 @@ def main():
 
     if os.environ.get("TPU3D_BENCH_EXTRAS") == "1":
         run_extras(log)
+
+
+def report_mfu(log):
+    """Print per-stage MFU from the newest MFU_r*.json artifact (see
+    benchmarks/mfu.py for the measurement + the hardware-MAC models)."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(_REPO, "MFU_r*.json")))
+    if not paths:
+        log("mfu: no MFU_r*.json artifact — run benchmarks/mfu.py on chip")
+        return
+    try:
+        with open(paths[-1]) as f:
+            m = json.load(f)
+    except Exception as e:
+        log(f"mfu: could not read {paths[-1]}: {e}")
+        return
+    log(f"mfu per stage ({os.path.basename(paths[-1])}, backend "
+        f"{m.get('backend')}, peak {m.get('peak_tflops_bf16')} TF bf16):")
+    for s in m.get("stages", []):
+        if s.get("mfu_pct") is None:
+            log(f"  {s['stage']:16s} {s['ms_per_pair']:7.2f} ms/pair  "
+                f"[{s['bound']}]")
+        else:
+            log(f"  {s['stage']:16s} {s['ms_per_pair']:7.2f} ms/pair  "
+                f"{s['achieved_tflops']:6.1f} TF  mfu {s['mfu_pct']:5.2f}% "
+                f"[{s['bound']}]")
 
 
 def run_extras(log):

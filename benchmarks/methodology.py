@@ -59,6 +59,20 @@ def main():
     voxel = 0.002
 
     log(f"backend={jax.default_backend()} n={n} rounds={rounds} K={K}")
+
+    # Artifact-minting gate (VERDICT r4 item 5): refuse to run in a
+    # degraded-tunnel session — METHODOLOGY_r04 was minted in one and its
+    # numbers never reconciled with the round's headline.
+    from tpu3d.utils.timing import roundtrip_stats
+
+    health = roundtrip_stats()
+    log(f"tunnel health: {health}")
+    if not health["healthy"] and os.environ.get("TPU3D_METH_FORCE") != "1":
+        log("ABORT: roundtrip spread "
+            f"{health['spread_ms']} ms > 3 ms — this session cannot mint a "
+            "methodology artifact (TPU3D_METH_FORCE=1 overrides)")
+        return 2
+
     src_np, tgt_np, _, _ = make_pair(n)
     tgt, tgt_feat = fused_prepare_features(
         PointCloud.from_numpy(tgt_np, capacity=n), jnp.float32(voxel * 5)
@@ -144,6 +158,7 @@ def main():
         "n": n,
         "rounds": rounds,
         "K": K,
+        "session_health": health,
         "roundtrip_ms": {
             "min": round(1e3 * rt_min, 3),
             "median": round(1e3 * rt_med, 3),
@@ -173,7 +188,8 @@ def main():
         ),
     }
     print(json.dumps(out), flush=True)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

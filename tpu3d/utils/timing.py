@@ -42,6 +42,34 @@ def roundtrip_ms(n: int = 8) -> float:
     return best * 1000.0
 
 
+def roundtrip_stats(n: int = 12, spread_limit_ms: float = 3.0) -> dict:
+    """Tunnel-health probe: distribution of n scalar readbacks with
+    DISTINCT args (the RPC layer caches identical program+args pairs).
+
+    The remote tunnel intermittently degrades for hours (compiles stall,
+    roundtrips drift 24.9-34.3 ms within one session — METHODOLOGY_r04);
+    a min-minus-min net timing minted in such a session carries the full
+    drift as error. ``healthy`` is False when the observed spread exceeds
+    ``spread_limit_ms`` — benchmark harnesses must flag or refuse to mint
+    artifacts then (VERDICT r4 item 5)."""
+    f = jax.jit(lambda v: v + 1.0)
+    float(f(jnp.float32(0.0)))
+    ts = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        float(f(jnp.float32(1.0 + i)))
+        ts.append((time.perf_counter() - t0) * 1000.0)
+    ts.sort()
+    spread = ts[-1] - ts[0]
+    return {
+        "min_ms": round(ts[0], 3),
+        "median_ms": round(ts[n // 2], 3),
+        "max_ms": round(ts[-1], 3),
+        "spread_ms": round(spread, 3),
+        "healthy": spread <= spread_limit_ms,
+    }
+
+
 def device_timeit(
     fn: Callable, *args, iters: int = 3, warmup: int = 1
 ) -> dict:
