@@ -37,8 +37,8 @@ _SENTINEL = 1.0e6  # coordinate magnitude pushed onto invalid/padded targets
 _BIG = 1.0e30
 
 
-def _nn_kernel(s_ref, t_ref, d_ref, i_ref, bd_ref, bi_ref, *, block_m: int,
-               precision):
+def _nn_kernel(s_ref, t_ref, d_ref, i_ref, bd_ref, bi_ref, *,
+               block_m: int, precision):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -46,34 +46,31 @@ def _nn_kernel(s_ref, t_ref, d_ref, i_ref, bd_ref, bi_ref, *, block_m: int,
         bd_ref[:] = jnp.full_like(bd_ref, _BIG)
         bi_ref[:] = jnp.zeros_like(bi_ref)
 
-    t = t_ref[:]  # (BM, D) f32 — or (BM, 3D) packed bf16 under "fast3"
-    s = s_ref[:]  # (D, BN) f32 — or (3D, BN) packed bf16
+    t = t_ref[:]  # (BM, D+1) f32 [t | ‖t‖²] — or (BM, 3D+2) packed bf16
+    s = s_ref[:]  # (D+1, BN) f32 [-2s ; 1] — or (3D+2, BN) packed bf16
+    # The whole d² = ‖t‖² − 2·t·s epilogue rides the MXU: the wrapper
+    # appends the norm column(s) to the target operand and ones row(s)
+    # (with the −2 folded into the query side) to the contraction, so the
+    # systolic pass emits d² directly — no per-pair VPU subtract, and no
+    # per-query-tile recomputation of the target norms (the old kernel
+    # re-reduced the D-wide norm ~n/block_n times per target row).
     if precision == "fast3":
-        # bf16x3 as ONE MXU pass: the wrapper packs [hi|hi|lo] x [hi;lo;hi]
-        # along the contraction axis, so hi·hi + hi·lo + lo·hi accumulates
-        # in a single f32 MXU chain (K = 3D ≤ 128 is still one systolic
-        # pass — 3x fewer passes than three separate bf16 dots, identical
-        # ~1e-7 relative accuracy).
+        # bf16x3 as ONE MXU pass: [hi|hi|lo|n_hi|n_lo] x
+        # [-2s_hi;-2s_lo;-2s_hi;1;1] — hi·hi + hi·lo + lo·hi + n_hi + n_lo
+        # accumulates in a single f32 MXU chain (K = 3D+2 ≤ 128 is still
+        # one systolic pass), ~1e-7 relative like the plain bf16x3 dot.
         # NOTE: a single bf16 pass ("fast1") was measured: 2.5x faster but
         # true-inlier correspondence quality collapses 0.46 -> 0.03 on the
         # bench pair — 4e-3 relative distance noise is NOT tie-class noise
         # for 33-D FPFH. bf16x3 is the speed floor for this argmin.
-        d3 = t.shape[1]
-        d_ = d3 // 3
-        cross = jnp.dot(
+        d2 = jnp.dot(
             t, s, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         )  # (BM, BN) on MXU, one pass
-        t32 = t[:, :d_].astype(jnp.float32) + t[:, 2 * d_:].astype(
-            jnp.float32
-        )  # exact f32 coords recovered from the hi+lo planes
-        tnorm = jnp.sum(t32 * t32, axis=1, keepdims=True)  # (BM, 1)
     else:
-        cross = jnp.dot(
+        d2 = jnp.dot(
             t, s, preferred_element_type=jnp.float32, precision=precision
         )  # (BM, BN) on MXU
-        tnorm = jnp.sum(t * t, axis=1, keepdims=True)  # (BM, 1)
-    d2 = tnorm - 2.0 * cross
 
     local_min = jnp.min(d2, axis=0)
     local_arg = jnp.argmin(d2, axis=0).astype(jnp.int32) + j * block_m
@@ -133,19 +130,38 @@ def nearest_neighbor_pallas(
     qp, mp = q + qpad, m + mpad
     grid = (qp // block_n, mp // block_m)
 
+    # ‖t‖² computed ONCE here and folded into the contraction as extra
+    # column(s) — the systolic pass then emits d² = ‖t‖² − 2·t·s directly
+    # (see _nn_kernel). The −2 rides the query side (exact power-of-two
+    # scale), ones-rows complete the norm term.
+    tn = jnp.sum(tgt * tgt, axis=1, keepdims=True)  # (Mp, 1) f32
     if precision == "fast3":
         # Pack the bf16 hi/lo split along the contraction axis so the
-        # kernel's cross term is ONE K=3D MXU pass (see _nn_kernel).
-        s_hi = s_t.astype(jnp.bfloat16)
-        s_lo = (s_t - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        s_in = jnp.concatenate([s_hi, s_lo, s_hi], axis=0)  # (3D, Qp)
+        # kernel's d² is ONE K=3D+2 MXU pass (see _nn_kernel). The norm's
+        # hi+lo planes carry it to the same ~2^-16 relative accuracy class
+        # as the reconstructed-coordinate reduction they replace.
+        s2 = -2.0 * s_t
+        s_hi = s2.astype(jnp.bfloat16)
+        s_lo = (s2 - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ones = jnp.ones((1, qp), jnp.bfloat16)
+        s_in = jnp.concatenate(
+            [s_hi, s_lo, s_hi, ones, ones], axis=0
+        )  # (3D+2, Qp)
         t_hi = tgt.astype(jnp.bfloat16)
         t_lo = (tgt - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        t_in = jnp.concatenate([t_hi, t_hi, t_lo], axis=1)  # (Mp, 3D)
-        d_in = 3 * d
+        n_hi = tn.astype(jnp.bfloat16)
+        n_lo = (tn - n_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        t_in = jnp.concatenate(
+            [t_hi, t_hi, t_lo, n_hi, n_lo], axis=1
+        )  # (Mp, 3D+2)
+        d_in = 3 * d + 2
         prec = precision
     else:
-        s_in, t_in, d_in = s_t, tgt, d
+        s_in = jnp.concatenate(
+            [-2.0 * s_t, jnp.ones((1, qp), jnp.float32)], axis=0
+        )  # (D+1, Qp)
+        t_in = jnp.concatenate([tgt, tn], axis=1)  # (Mp, D+1)
+        d_in = d + 1
         prec = (
             jax.lax.Precision.HIGHEST if precision == "highest" else precision
         )
@@ -172,8 +188,8 @@ def nearest_neighbor_pallas(
             pltpu.VMEM((1, block_n), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * qp * mp * d + 4 * qp * mp,
-            bytes_accessed=(qp * d + mp * d + 2 * qp) * 4,
+            flops=2 * qp * mp * d_in + 2 * qp * mp,
+            bytes_accessed=(qp * d_in + mp * d_in + 2 * qp) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
