@@ -112,6 +112,19 @@ def prepare_features_sharded(
 
     n_shards = mesh.shape[axis]
     radius = jnp.float32(config.voxel_size * 5.0)
+    if halo is None:
+        # Radius-AWARE default: the exactness contract needs the strip to
+        # span 3·radius in x, but fused_prepare_sharded's fallback default
+        # is row-count-based (an eighth of the shard) and radius-blind —
+        # dense clouds with a wide radius then always fall back. Estimate
+        # rows-per-x from the valid extent (host scalars at a stage
+        # boundary), 1.6x safety for density variation.
+        xs = np.asarray(down.points[:, 0])[np.asarray(down.mask)]
+        if xs.size:
+            span = max(float(xs.max() - xs.min()), 1e-9)
+            need = int(3.0 * float(config.voxel_size * 5.0) / span
+                       * xs.size * 1.6) + 1
+            halo = max(1024, need)
     pts, msk, _ = x_partition(down.points, down.mask, n_shards)
     sh = NamedSharding(mesh, P(axis))
     pts = jax.device_put(pts, sh)
