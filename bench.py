@@ -367,6 +367,16 @@ def main():
         f" {single_s * 1000:.1f} ms; agreement"
         f" {100 * single_s / max(pair_s, 1e-12):.0f}%)"
     )
+    # Floor-drift check: a burst probe can't see slow degradation — compare
+    # the roundtrip floor before vs after the timed runs.
+    health_end = roundtrip_stats()
+    floor_drift = abs(health_end["min_ms"] - health["min_ms"])
+    log(f"tunnel floor drift over run: {floor_drift:.2f} ms "
+        f"(start {health['min_ms']}, end {health_end['min_ms']})")
+    if floor_drift > 3.0:
+        log("WARNING: roundtrip floor drifted > 3 ms during the run — "
+            "net timings unreliable, rerun in a stable session")
+
     # Methodology (VERDICT r3 item 4, characterized in METHODOLOGY_r04.json
     # + BENCH_NOTES): the single-shot net is a LOWER BOUND, not an
     # independent estimate — raw single-shots measure less than
