@@ -119,6 +119,34 @@ def test_register_pair_sharded_defaults_build_mesh(mesh):
     np.testing.assert_allclose(TN[:3, 3], t, atol=3e-3)
 
 
+def test_prepare_sharded_default_halo_is_radius_aware(mesh):
+    """A dense cloud whose 3·radius span exceeds the row-count default
+    halo must STILL distribute: prepare_features_sharded estimates the
+    needed strip from rows-per-x (regression: the radius-blind default
+    always fell back single-device on dense+wide fixtures)."""
+    from tpu3d.config import RegistrationConfig
+    from tpu3d.parallel.register_sharded import prepare_features_sharded
+
+    rng = np.random.default_rng(7)
+    # Tuned so 3·r5 (0.0105 in x) exceeds the 1024-row count-based halo
+    # (~0.0094) but fits the radius-aware estimate (~1835 rows ≈ 0.0168)
+    # within one 2048-row shard — the regime the fix exists for.
+    n, voxel = 16384, 7e-4
+    r5 = 5.0 * voxel
+    xy = rng.uniform(-0.075, 0.075, size=(n, 2)).astype(np.float32)
+    w = 1.1 / r5
+    z = 0.7 + 1.2 * r5 * np.sin(w * xy[:, 0]) * np.cos(0.8 * w * xy[:, 1])
+    cloud = PointCloud.from_numpy(
+        np.column_stack([xy, z]).astype(np.float32), capacity=n
+    )
+    cfg = RegistrationConfig(voxel_size=voxel)
+    out, feat, distributed = prepare_features_sharded(cloud, cfg, mesh)
+    assert distributed, "radius-aware default halo must span 3r here"
+    v = np.asarray(out.mask)
+    assert np.isfinite(np.asarray(out.normals)[v]).all()
+    assert np.asarray(feat.descriptors)[v].sum() > 0
+
+
 def test_pipeline_parallel_from_config(mesh):
     """The demo pipeline runs distributed from config alone: a `parallel:`
     block is the only change vs the stock demo config."""
