@@ -64,6 +64,17 @@ def cross_chunked(qd, td, mode, chunk=2048):
         q_lo = bf16(qd - q_hi)
         t_hi = bf16(td)
         t_lo = bf16(td - t_hi)
+    if mode == "bf16x3n":
+        # r5 kernel formulation (ops/nn_pallas.py): the query side carries
+        # the exact -2 scale before the hi/lo split, and ||t||^2 rides the
+        # contraction as two bf16 limbs (computed from the raw f32 norm) —
+        # d2 accumulates entirely inside one f32 MXU chain.
+        s2 = -2.0 * qd
+        s2_hi = bf16(s2)
+        s2_lo = bf16(s2 - s2_hi)
+        tn32 = np.sum(td * td, axis=1).astype(np.float32)
+        n_hi = bf16(tn32)
+        n_lo = bf16(tn32 - n_hi)
     if mode.startswith("int8"):
         # Symmetric two-limb int8 quantization: v ~ a/127 + b/127^2 with
         # a = round(v*127), b = round((v - a/127)*127^2), both in [-127,127]
@@ -91,6 +102,16 @@ def cross_chunked(qd, td, mode, chunk=2048):
             cr = q_hi[s:e] @ t_hi.T
         elif mode == "bf16x3":
             cr = q_hi[s:e] @ t_hi.T + q_hi[s:e] @ t_lo.T + q_lo[s:e] @ t_hi.T
+        elif mode == "bf16x3n":
+            d2 = (
+                s2_hi[s:e] @ t_hi.T
+                + s2_lo[s:e] @ t_hi.T
+                + s2_hi[s:e] @ t_lo.T
+                + n_hi[None, :]
+                + n_lo[None, :]
+            )
+            out[s:e] = np.argmin(d2, axis=1)
+            continue
         elif mode == "int8x1":
             cr = (qa[s:e] @ ta.T).astype(np.float32) / (127.0 * 127.0)
         elif mode == "int8x3":
@@ -133,8 +154,8 @@ def main():
     true_pos = sp @ R_true.T + t_true
 
     modes = [
-        "f64", "f32", "bf16x3", "int8x3", "trunc10", "trunc13", "trunc16",
-        "int8x1", "bf16x1",
+        "f64", "f32", "bf16x3", "bf16x3n", "int8x3", "trunc10", "trunc13",
+        "trunc16", "int8x1", "bf16x1",
     ]
     ref = None
     res = {}
