@@ -6,17 +6,20 @@ set -u
 cd "$(dirname "$0")/.."
 
 probe() {
+  # Gate on RESPONSIVENESS (compile completes, floor sane) — each harness
+  # applies its own health policy (bench warns + floor-drift check,
+  # methodology refuses to mint when degraded).
   timeout 120 python -c "
 import time, jax, jax.numpy as jnp
 t0=time.time(); f=jax.jit(lambda v: v*2+1); r=float(f(jnp.float32(3.0)))
 print('probe ok', round(time.time()-t0,1), 's backend', jax.default_backend())
 from tpu3d.utils.timing import roundtrip_stats
 h=roundtrip_stats(); print('health', h)
-import sys; sys.exit(0 if h['healthy'] else 1)"
+import sys; sys.exit(0 if h['min_ms'] < 60 else 1)"
 }
 
 echo "== probe =="
-probe || { echo "TUNNEL UNHEALTHY — aborting session"; exit 1; }
+probe || { echo "TUNNEL UNRESPONSIVE — aborting session"; exit 1; }
 
 echo "== nn precision quality (new fast3 packing) =="
 timeout 1200 python benchmarks/nn_precision_quality.py \
