@@ -613,17 +613,25 @@ def ransac_registration(
                 keep = keep & (count >= 3)
             return keep
 
+        state0 = (
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.bool_(False),
+            jnp.float32(0.0),  # reference best_fitness default
+            jnp.float32(0.0),
+            id_w16,
+        )
+        # Chunk 1 is PEELED out of the while_loop: it always runs
+        # (n_chunks_bound >= 1, max_it >= 1; the count < 3 case disables
+        # every hypothesis, so the body provably leaves the carried best
+        # at the init state — result-identical), and inlining it lets XLA
+        # fuse the first chunk's sampling/solve/score chain with the
+        # surrounding graph instead of walling it behind the loop. Easy
+        # scenes exceed the confidence in chunk 1, so the remaining loop
+        # then runs ZERO iterations.
+        state1 = body(state0)
         _, _, _, best_fitness, best_rmse, bw = jax.lax.while_loop(
-            cond,
-            body,
-            (
-                jnp.int32(0),
-                jnp.int32(0),
-                jnp.bool_(False),
-                jnp.float32(0.0),  # reference best_fitness default
-                jnp.float32(0.0),
-                id_w16,
-            ),
+            cond, body, state1
         )
         # w16 = [Rᵀt | t | vec(R) | 0] — recover the winning transform.
         best_R = bw[6:15].reshape(3, 3)
