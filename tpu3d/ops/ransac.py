@@ -142,18 +142,25 @@ def score_w16(feat_s, pq_s, w_s, tn_s, thr2, chunk=512):
     return c_.reshape(-1)[:hh], e_.reshape(-1)[:hh]
 
 
-def build_rotation_table(pq_packed, perm, count):
+def build_rotation_table(pq_packed, src_mask, count):
     """Mod-count roll table for the rotation sampler, PLANE-major (6, 2n):
     columns [0, count) hold the compacted valid rows' p‖q planes, and a
     second full copy starts AT column ``count`` (one dynamic_update_slice),
     so for any shift r < count the contiguous window pq2p[:, r : r + n]
     reads row (i + r) mod count at position i for every i < count
     (positions i >= count are junk either way — slot validity masks them).
-    Built once per call (ONE small (n, 6)→(6, n) relayout); each epoch slot
+    The valid-first compaction rides the sort network (stable multi-operand
+    ``lax.sort`` keyed on ~mask — identical order to the stable argsort it
+    replaces, and at the exact-envelope 100k scale the former
+    ``pq_packed[perm]`` row gather cost ~1 ms on a v5e). Each epoch slot
     is then a single dynamic_slice already in the layout the plane solve
     consumes. Shared by the single-chip chunked path and the
     hypothesis-sharded path (tpu3d/parallel/ransac_sharded.py)."""
-    pq_sorted_t = pq_packed[perm].T  # (6, n)
+    key = (~src_mask).astype(jnp.int32)  # valid rows first, stable
+    sorted_cols = jax.lax.sort(
+        (key,) + tuple(pq_packed[:, j] for j in range(6)), num_keys=1
+    )[1:]
+    pq_sorted_t = jnp.stack(sorted_cols)  # (6, n)
     return jax.lax.dynamic_update_slice(
         jnp.concatenate(
             [pq_sorted_t, jnp.zeros_like(pq_sorted_t)], axis=1
@@ -474,7 +481,9 @@ def ransac_registration(
         use_rotation = False
     # Mod-count roll table (see build_rotation_table) — built once per call.
     pq2p = (
-        build_rotation_table(pq_packed, perm, count) if use_rotation else None
+        build_rotation_table(pq_packed, src_mask, count)
+        if use_rotation
+        else None
     )
 
     if use_chunked:

@@ -54,13 +54,27 @@ def score_hypotheses_pallas(
     w16t: jnp.ndarray,  # f32[16, H] — [Rᵀt, t, vec(R), 0] K-major
     t_norm: jnp.ndarray,  # f32[H] — ‖t_h‖²
     thr2,
-    block_n: int = 2048,
+    block_n: int | None = None,
     block_h: int = 512,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (inlier_count f32[H], err2_sum f32[H])."""
+    """Returns (inlier_count f32[H], err2_sum f32[H]).
+
+    ``block_n=None`` auto-picks the chip-swept schedule
+    (benchmarks/sweep_score_blocks.py, v5e, 25.6k hyp × 100k rows):
+    8192 × 512 → 4.53 ms/chunk vs 5.98 at the old 2048 × 512 — the
+    16 MB err² tile (block_n × block_h × 4 B) is the VMEM edge; every
+    wider/taller schedule OOMs or loses. Small row counts round up to
+    one 512-aligned tile so subset scoring (bench caps n=2048) never
+    pads 4x. Inlier counts are bit-exact across schedules (integer
+    sums); the err² accumulation grouping follows the row tiling, so
+    rmse can move by ulps between schedules — the usual
+    reduction-order class, far below every gate.
+    """
     d, n = feat_t.shape
     h = w16t.shape[1]
+    if block_n is None:
+        block_n = min(8192, -(-n // 512) * 512)
     npad = (-n) % block_n
     hpad = (-h) % block_h
     if npad:

@@ -201,7 +201,7 @@ def ransac_registration_sharded(
     else:
         use_rotation = sampling == "rotation"
     pq2p = (
-        build_rotation_table(pq_packed, perm, count) if use_rotation
+        build_rotation_table(pq_packed, src_mask, count) if use_rotation
         else None
     )
     # Per-shard consumed ids per round (replicated — depends only on
