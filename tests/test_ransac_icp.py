@@ -351,6 +351,30 @@ def test_ransac_rotation_sampling_recovers_pose(rng):
     assert abs(results["rotation"] - results["gather"]) < 0.1
 
 
+def test_rotation_table_sort_carry_matches_reference(rng):
+    """build_rotation_table compacts valid rows FIRST in STABLE original
+    order via a multi-operand lax.sort (the payload rides the sort
+    network — the former ``pq_packed[argsort(~mask)]`` row gather cost
+    ~1 ms at the exact-envelope 100k scale). Pin the construction to the
+    obvious NumPy reference: [valid rows in order | junk] doubled at
+    column ``count``."""
+    from tpu3d.ops.ransac import build_rotation_table
+
+    n = 311
+    pq = rng.normal(size=(n, 6)).astype(np.float32)
+    mask = rng.uniform(size=n) > 0.3
+    count = int(mask.sum())
+    tab = np.asarray(
+        build_rotation_table(
+            jnp.asarray(pq), jnp.asarray(mask), jnp.int32(count)
+        )
+    )
+    assert tab.shape == (6, 2 * n)
+    expect = pq[mask].T  # (6, count) — valid rows, original order
+    np.testing.assert_array_equal(tab[:, :count], expect)
+    np.testing.assert_array_equal(tab[:, count: 2 * count], expect)
+
+
 def test_ransac_rotation_low_valid_fraction_full_budget(rng):
     """Rotation sampling's while_loop bound must scale with the cloud's
     VALID fraction: each chunk consumes only count-proportional iteration
