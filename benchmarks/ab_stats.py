@@ -39,6 +39,7 @@ from tpu3d.ops.fused_features import (  # noqa: E402
 )
 from tpu3d.ops.icp import icp_refine  # noqa: E402
 from tpu3d.ops.ransac import ransac_registration  # noqa: E402
+from tpu3d.registration import sparse_register_escalated  # noqa: E402
 from tpu3d.types import PointCloud  # noqa: E402
 
 
@@ -130,9 +131,18 @@ def main():
             seed=seed, confidence=confidence, corr_mode="exact",
             sampling="gather", est_cap=est_cap,
         )
-        ref_s = icp_refine(src, tgt_p, coarse_s.transformation,
-                           voxel * 0.4, max_iterations=200,
-                           src_cap=src_cap)
+        # The PRODUCT sparse arm (register_pair's composition): sparse
+        # prepare + RANSAC + ICP, with the below-min_fitness escalation
+        # through the full-prepare auto arm
+        # (registration.sparse_register_escalated — a loud-failure
+        # restart; clean scenes never trigger it). The gates consume
+        # what production consumes.
+        ref_s, _, esc_s = sparse_register_escalated(
+            src, tgt_p, tgt_f, voxel=voxel, radius=radius,
+            corr_cap=corr_cap, est_cap=est_cap, src_cap=src_cap,
+            max_iterations=100000, confidence=confidence, seed=seed,
+            escalate_below=0.3,
+        )
         # Sparse-arm reported-fitness fidelity at ITS pose (the number the
         # min_fitness gate consumes on the bench configuration) — same
         # probe as exact_at_a above.
@@ -176,6 +186,7 @@ def main():
             "fit_icp_sparse_exact_at_pose": round(
                 float(exact_at_s.fitness), 5
             ),
+            "sparse_escalated": bool(esc_s),
             "fit_coarse_rotation": round(float(coarse_s.fitness), 5),
             "fit_coarse_gather": round(float(coarse_g.fitness), 5),
         }

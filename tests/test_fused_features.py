@@ -205,6 +205,48 @@ def test_sparse_prepare_drives_ransac(rng):
     assert np.mean(resid < 1.5 * voxel) > 0.99
 
 
+def test_sparse_register_escalation_wiring(rng):
+    """sparse_register_escalated with a forced always-escalate threshold
+    must run the full-prepare fallback arm and still return a correct
+    pose (the escalated result can only replace the sparse one when its
+    fitness is higher — keep-better semantics)."""
+    from tpu3d.ops.fused_features import fused_prepare_features
+    from tpu3d.registration import sparse_register_escalated
+    import jax.numpy as jnp
+
+    voxel = 0.004
+    tgt_pts = _surface(rng, 4000)
+    R = np.array([[0.995, 0.0998, 0], [-0.0998, 0.995, 0], [0, 0, 1]],
+                 np.float32)
+    t = np.array([0.01, -0.02, 0.015], np.float32)
+    src_pts = ((tgt_pts - t) @ R).astype(np.float32)
+    src = PointCloud.from_numpy(src_pts)
+    tgt = PointCloud.from_numpy(tgt_pts)
+    tgt_p, tgt_f = fused_prepare_features(
+        tgt, jnp.float32(voxel * 5), interpret=True
+    )
+
+    common = dict(
+        voxel=voxel, radius=jnp.float32(voxel * 5), corr_cap=2048,
+        max_iterations=4096, icp_max_iterations=30, seed=3,
+        interpret=True,
+    )
+    ref0, _, esc0 = sparse_register_escalated(
+        src, tgt_p, tgt_f, escalate_below=0.0, **common
+    )  # escalation disabled
+    ref1, _, esc1 = sparse_register_escalated(
+        src, tgt_p, tgt_f, escalate_below=2.0, **common
+    )  # always escalates (keep-better)
+    assert not esc0
+    for ref in (ref0, ref1):
+        T = np.asarray(ref.transformation)
+        assert float(ref.fitness) > 0.8
+        np.testing.assert_allclose(T[:3, :3], R, atol=0.01)
+        np.testing.assert_allclose(T[:3, 3], t, atol=0.005)
+    # Keep-better: the escalated result can't be worse than the sparse one.
+    assert float(ref1.fitness) >= float(ref0.fitness) - 1e-6
+
+
 def test_register_pair_prepare_mode_sparse(rng):
     """Config-level wiring: prepare_mode='sparse' routes register_pair
     through the sparse source prepare (interpret-mode off-TPU) and still

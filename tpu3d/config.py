@@ -79,6 +79,15 @@ class RegistrationConfig:
     # would subsample anyway, so reported metrics stay in the same
     # statistical class. 'dense' always prepares every row.
     prepare_mode: str = "auto"  # auto|dense|sparse
+    # Sparse-arm escalation (host-level restart): when the sparse-prepare
+    # pipeline's refined fitness lands below this threshold — i.e. the
+    # result the min_fitness warning would reject anyway — re-run the
+    # coarse+refine stages through the full-prepare corr_mode='auto' arm
+    # and keep the better result. On noisy scenes the sparse subset's
+    # 4-run strata occasionally miss the basin the row-strided subset
+    # finds (AB_STATS r5 seeds 5/7/19); clean scenes never trigger it.
+    # 0 disables. 'auto' (default) uses min_fitness.
+    sparse_escalate_fitness: float | str = "auto"
 
 
 @dataclasses.dataclass

@@ -273,6 +273,39 @@ class Pipeline:
                     source, ref_cloud, coarse.transformation, icp_threshold
                 )
                 fitness = float(refined.fitness)
+            if (
+                source_features is None
+                and fitness < self._sparse_escalate_threshold()
+            ):
+                # Sparse-arm loud-failure escalation (see
+                # registration.sparse_register_escalated): the subset's
+                # contiguous strata occasionally miss the basin the
+                # row-strided full-prepare arm finds on noisy scenes —
+                # below the warn threshold, retry through that arm and
+                # keep the better result before reporting.
+                print(
+                    f"Instance {instance_id}: sparse-arm fitness"
+                    f" {fitness:.4f} below threshold — escalating through"
+                    " the full-prepare arm"
+                )
+                src_full, src_feat = prepare_features(
+                    source, cfg.registration, "fused"
+                )
+                coarse2 = ransac_registration(
+                    src_full, ref_cloud, src_feat, ref_features,
+                    cfg.registration.voxel_size,
+                    max_iterations=cfg.registration.ransac_max_iterations,
+                    confidence=cfg.registration.ransac_confidence,
+                    seed=cfg.registration.ransac_seed,
+                    corr_mode=cfg.registration.corr_mode,
+                    two_stage=_two_stage_opt(cfg.registration.two_stage),
+                )
+                refined2 = self._icp_accel(
+                    src_full, ref_cloud, coarse2.transformation,
+                    icp_threshold,
+                )
+                if float(refined2.fitness) > fitness:
+                    refined, coarse = refined2, coarse2
             return self._finish_instance(refined, coarse, instance_id, t0)
         except Exception as e:  # degrade like pipeline.cpp:146-149
             print(f"Instance {instance_id} error: {e}")
@@ -432,12 +465,29 @@ class Pipeline:
         print(f"Batch of {len(ids)} registered in {ms:.1f} ms")
 
         out = []
+        esc_thr = self._sparse_escalate_threshold()
         for b, instance_id in enumerate(ids):
             fitness = float(fit_all[b])
             print(
                 f"Instance {instance_id}: RANSAC fitness={float(cfit_all[b]):.4f},"
                 f" ICP fitness={fitness:.4f}, RMSE={float(rmse_all[b]):.6f}"
             )
+            if preps[0][1] is None and fitness < esc_thr:
+                # Sparse-group instance below the warn threshold: re-route
+                # through the per-instance path, whose sparse-arm
+                # escalation retries the full-prepare arm (the other
+                # instances in the batch keep their batched result).
+                print(
+                    f"Instance {instance_id}: sparse batched fitness"
+                    f" {fitness:.4f} below threshold — re-running"
+                    " per-instance with escalation"
+                )
+                pose = self._register_instance_inner(
+                    preps[b][0], None, ref_cloud, ref_features,
+                    instance_id, time.perf_counter(),
+                )
+                out.append(pose)
+                continue
             if fitness < cfg.min_fitness:
                 # Warn but still use the pose, like pipeline.cpp:131-134.
                 print(f"Instance {instance_id}: low fitness {fitness:.4f}")
@@ -454,6 +504,16 @@ class Pipeline:
             )
             out.append(T_world_object)
         return out
+
+    def _sparse_escalate_threshold(self) -> float:
+        """Fitness below which the sparse-prepare arm retries through the
+        full-prepare arm ('auto' → min_fitness; 0 disables)."""
+        esc = getattr(
+            self.config.registration, "sparse_escalate_fitness", "auto"
+        )
+        if esc == "auto":
+            return float(self.config.registration.min_fitness)
+        return float(esc)
 
     def _icp_accel(self, source, target, init_T, threshold):
         """ICP on whatever backend is current (split out so tests can fault

@@ -250,6 +250,91 @@ def sparse_prepare_active(
     )
 
 
+def sparse_register_escalated(
+    src_down: PointCloud,
+    tgt_down: PointCloud,
+    tgt_feat: FPFHFeatures,
+    *,
+    voxel: float,
+    radius,
+    corr_cap: int = 8192,
+    est_cap: int = 2048,
+    src_cap: int = 16384,
+    max_iterations: int = 100000,
+    confidence: float = 0.999,
+    seed: int = 42,
+    icp_distance_factor: float = 0.4,
+    icp_max_iterations: int = 200,
+    point_to_plane: bool = True,
+    two_stage="auto",
+    src_mode: str = "auto",
+    escalate_below: float = 0.3,
+    interpret: bool = False,
+) -> tuple[RegistrationResult, RegistrationResult, bool]:
+    """The sparse-prepare registration arm with loud-failure escalation.
+
+    Fast path: source descriptors only where the correspondence subset
+    reads them (fused_prepare_sparse — every retained descriptor
+    bit-identical to the dense fused path), RANSAC on the subset view,
+    ICP from the raw downsampled source.
+
+    Escalation (host-level restart, ``escalate_below`` > 0): the sparse
+    subset's contiguous strata runs carry less pose-constraint diversity
+    than a row-strided subset of the same size — on noisy scenes the
+    sparse arm occasionally misses the basin the full-prepare
+    corr_mode='auto' arm finds (AB_STATS r5: 3 of 10 noisy seeds, honest
+    near-zero fitness). When the refined fitness lands below the
+    threshold — i.e. a result the pipeline's min_fitness warning
+    (pipeline.cpp:131-134) would reject anyway — the coarse+refine
+    stages re-run through the full-prepare auto arm and the better
+    result wins. Clean scenes never trigger it (fitness ≫ threshold),
+    so the bench fast path is unchanged; hopeless scenes (0.5-voxel
+    noise, where EVERY arm honestly fails — BENCH_NOTES) pay one dense
+    prepare and still report the loud failure.
+
+    Returns (refined, coarse, escalated).
+    """
+    from tpu3d.ops.fused_features import fused_prepare_sparse
+
+    sub_c, sub_f, _ = fused_prepare_sparse(
+        src_down, radius, corr_cap=corr_cap, interpret=interpret
+    )
+    coarse = ransac_registration(
+        sub_c, tgt_down, sub_f, tgt_feat, voxel,
+        max_iterations=max_iterations, confidence=confidence, seed=seed,
+        corr_mode="exact", est_cap=est_cap,
+        two_stage=two_stage_opt(two_stage)
+        if isinstance(two_stage, str) else two_stage,
+    )
+    refined = icp_refine(
+        src_down, tgt_down, coarse.transformation,
+        voxel * icp_distance_factor, max_iterations=icp_max_iterations,
+        point_to_plane=point_to_plane, src_mode=src_mode, src_cap=src_cap,
+    )
+    if escalate_below > 0 and float(refined.fitness) < escalate_below:
+        src_full, src_feat = fused_prepare_features(
+            src_down, radius, interpret=interpret
+        )
+        coarse2 = ransac_registration(
+            src_full, tgt_down, src_feat, tgt_feat, voxel,
+            max_iterations=max_iterations, confidence=confidence,
+            seed=seed, corr_mode="auto", corr_cap=corr_cap,
+            est_cap=est_cap,
+            two_stage=two_stage_opt(two_stage)
+            if isinstance(two_stage, str) else two_stage,
+        )
+        refined2 = icp_refine(
+            src_full, tgt_down, coarse2.transformation,
+            voxel * icp_distance_factor,
+            max_iterations=icp_max_iterations,
+            point_to_plane=point_to_plane, src_mode=src_mode,
+            src_cap=src_cap,
+        )
+        if float(refined2.fitness) > float(refined.fitness):
+            return refined2, coarse2, True
+    return refined, coarse, False
+
+
 def register_pair(
     source: PointCloud,
     target: PointCloud,
@@ -280,36 +365,31 @@ def register_pair(
         # path); RANSAC consumes the subset view with corr_mode='exact' —
         # the same statistical envelope as corr_mode='auto'. ICP never
         # reads source normals (p2plane uses the TARGET's), so it refines
-        # from the raw downsampled source.
-        from tpu3d.ops.fused_features import fused_prepare_sparse
+        # from the raw downsampled source. Below-min_fitness results
+        # escalate through the full-prepare auto arm (see
+        # sparse_register_escalated).
         from tpu3d.utils.platform import on_tpu
 
+        esc = config.sparse_escalate_fitness
+        if esc == "auto":
+            esc = config.min_fitness
         tgt_down, tgt_feat = prepare_features(tgt_down, config, "fused")
-        sub_c, sub_f, _ = fused_prepare_sparse(
+        refined, coarse, _ = sparse_register_escalated(
             src_down,
-            jnp.float32(config.voxel_size * 5.0),
-            interpret=not on_tpu(),
-        )
-        coarse = ransac_registration(
-            sub_c,
             tgt_down,
-            sub_f,
             tgt_feat,
-            config.voxel_size,
+            voxel=config.voxel_size,
+            radius=jnp.float32(config.voxel_size * 5.0),
             max_iterations=config.ransac_max_iterations,
             confidence=config.ransac_confidence,
             seed=config.ransac_seed,
-            corr_mode="exact",
-            two_stage=two_stage_opt(config.two_stage),
-        )
-        refined = icp_refine(
-            src_down,
-            tgt_down,
-            coarse.transformation,
-            config.voxel_size * config.icp_distance_factor,
-            max_iterations=config.icp_max_iterations,
+            icp_distance_factor=config.icp_distance_factor,
+            icp_max_iterations=config.icp_max_iterations,
             point_to_plane=config.use_point_to_plane,
+            two_stage=config.two_stage,
             src_mode=config.src_mode,
+            escalate_below=float(esc),
+            interpret=not on_tpu(),
         )
         return refined, coarse
     src_down, src_feat = prepare_features(src_down, config, mode)
