@@ -210,17 +210,24 @@ def main():
     td = jnp.asarray(rng.random((n, 33), dtype=np.float32))
     tm = jnp.ones((n,), bool)
     kwargs = {"precision": "fast3"} if on_tpu() else {}
-    g = jax.jit(
-        lambda q, t, m: jnp.sum(nearest_neighbor(q, t, m, **kwargs)[1])
-    )
-    float(g(qd, td, tm))
+    K_nn = 5
+
+    def nn_loop(q, t, m, jit_s):
+        def body(i, acc):
+            qi = q + (jnp.float32(1e-6) * (i + 1) + jit_s)
+            return acc + jnp.sum(nearest_neighbor(qi, t, m, **kwargs)[1])
+
+        return jax.lax.fori_loop(0, K_nn, body, jnp.float32(0.0))
+
+    g = jax.jit(nn_loop)
+    float(g(qd, td, tm, jnp.float32(0.0)))
     rt = roundtrip_ms() / 1000.0
     ts = []
     for r in range(3):
         t0 = time.perf_counter()
-        float(g(qd + jnp.float32(1e-6 * (r + 1)), td, tm))
+        float(g(qd, td, tm, jnp.float32(1e-6 * (r + 1) * K_nn)))
         ts.append(time.perf_counter() - t0)
-    exact_nn_ms = max(min(ts) - rt, 0.0) * 1000.0
+    exact_nn_ms = max((min(ts) - rt) / K_nn, 0.0) * 1000.0
 
     rows = mfu_report(deltas, n, corr_cap, ransac_iters, exact_nn_ms)
     out = {
