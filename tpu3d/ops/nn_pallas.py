@@ -38,7 +38,7 @@ _BIG = 1.0e30
 
 
 def _nn_kernel(s_ref, t_ref, d_ref, i_ref, bd_ref, bi_ref, *,
-               block_m: int, precision):
+               block_m: int, precision, epilogue: str = "argmin"):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -73,7 +73,24 @@ def _nn_kernel(s_ref, t_ref, d_ref, i_ref, bd_ref, bi_ref, *,
         )  # (BM, BN) on MXU
 
     local_min = jnp.min(d2, axis=0)
-    local_arg = jnp.argmin(d2, axis=0).astype(jnp.int32) + j * block_m
+    if epilogue == "eqidx":
+        # Equality-index argmin: one min pass + equality mask +
+        # min-of-iota instead of a second (value,index)-pair argmin
+        # reduction. NEGATIVE RESULT (chip A/B, 100k×100k×33-D fast3 at
+        # the default blocks): 19.14 ms vs jnp.argmin's 14.53 — Mosaic's
+        # native argmin lowering beats the manual three-op chain; kept
+        # selectable so the measurement is reproducible, not as a path
+        # anyone should choose. Selection is bit-identical (idx-agree
+        # 1.0 incl. ties: min-of-iota preserves the first-hit lowest-row
+        # tie-break; d2 is a kernel-local materialized value, so the
+        # float equality is safe from the cross-fusion recompute hazard).
+        rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+        local_arg = jnp.min(
+            jnp.where(d2 == local_min[None, :], rows, jnp.int32(1 << 30)),
+            axis=0,
+        ) + j * block_m
+    else:
+        local_arg = jnp.argmin(d2, axis=0).astype(jnp.int32) + j * block_m
 
     better = local_min < bd_ref[0, :]
     bd_ref[0, :] = jnp.where(better, local_min, bd_ref[0, :])
@@ -86,7 +103,10 @@ def _nn_kernel(s_ref, t_ref, d_ref, i_ref, bd_ref, bi_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_n", "block_m", "interpret", "precision")
+    jax.jit,
+    static_argnames=(
+        "block_n", "block_m", "interpret", "precision", "epilogue"
+    ),
 )
 def nearest_neighbor_pallas(
     queries: jnp.ndarray,
@@ -96,6 +116,7 @@ def nearest_neighbor_pallas(
     block_m: int = 1024,
     interpret: bool = False,
     precision="highest",
+    epilogue: str = "argmin",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Top-1 nearest valid target per query.
 
@@ -173,7 +194,9 @@ def nearest_neighbor_pallas(
             jax.lax.Precision.HIGHEST if precision == "highest" else precision
         )
     dist, idx = pl.pallas_call(
-        functools.partial(_nn_kernel, block_m=block_m, precision=prec),
+        functools.partial(
+            _nn_kernel, block_m=block_m, precision=prec, epilogue=epilogue
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((d_in, block_n), lambda i, j: (0, i),
