@@ -291,6 +291,60 @@ def test_pipeline_prepare_mode_sparse_routing():
     assert prep2 is not None and prep2[1] is not None
 
 
+def test_pipeline_sparse_escalation_paths(capsys):
+    """The sparse-arm escalation must be reachable from BOTH pipeline
+    paths: the per-instance registration and the batched-group re-route.
+    A forced always-escalate threshold exercises the wiring on a clean
+    scene (keep-better semantics: results stay correct)."""
+    from tpu3d.registration import prepare_features
+
+    z, K = _bumpy_frame()
+    scale = 10000.0
+    depth_u16f = (z * scale).astype(np.float32)
+
+    cfg = _demo_config()
+    cfg.camera.width, cfg.camera.height = 240, 180
+    cfg.depth.scale_to_meters = scale
+    cfg.registration.voxel_size = 0.008
+    cfg.registration.prepare_mode = "sparse"
+    cfg.registration.sparse_escalate_fitness = 2.0  # always escalate
+    cfg.registration.ransac_max_iterations = 1500
+    cfg.registration.icp_max_iterations = 20
+    pipe = Pipeline(cfg, sleep_fn=lambda s: None)
+    pipe._neighbor_mode = "fused"
+
+    prep = pipe._prepare_instance_inner(None, depth_u16f, None, K, 0)
+    assert prep is not None and prep[1] is None
+    down = prep[0]
+    ref_cloud, ref_features = prepare_features(
+        down, cfg.registration, "fused"
+    )
+
+    # Per-instance path.
+    import time as _time
+
+    pose = pipe._register_instance_inner(
+        prep[0], None, ref_cloud, ref_features, 0, _time.perf_counter()
+    )
+    assert pose is not None and np.all(np.isfinite(pose))
+    out = capsys.readouterr().out
+    assert "escalating through the full-prepare arm" in out
+
+    # Batched path: the group registers batched, then every instance
+    # (fitness < 2.0) re-routes through the per-instance path, which
+    # escalates.
+    poses = pipe._register_instances([prep, prep], ref_cloud, ref_features)
+    out = capsys.readouterr().out
+    assert "re-running per-instance with escalation" in out
+    for pose in poses:
+        assert pose is not None and np.all(np.isfinite(pose))
+    # Self-registration against its own crop: identity pose survives the
+    # escalated arm.
+    for res in pipe.instance_results[-2:]:
+        T = res["T_world_object"]
+        np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=0.05)
+
+
 def test_pipeline_icp_host_retry(monkeypatch):
     """Accelerator-stage ICP failure must retry on the host backend and
     still produce a pose (pipeline.cpp:114-121 parity)."""
