@@ -172,6 +172,54 @@ def test_pipeline_parallel_from_config(mesh):
     assert 0.0 <= pipe.instance_results[0]["fitness"] <= 1.0
 
 
+def test_pipeline_sharded_sparse_escalation(mesh, capsys):
+    """The sparse-arm loud-failure escalation must also be reachable on
+    the SHARDED pipeline path (mesh active + prepare_mode='sparse'): a
+    forced always-escalate threshold re-runs the instance through the
+    full-prepare sharded arm, keep-better semantics."""
+    import numpy as np
+
+    from tpu3d.pipeline.pipeline import Pipeline
+    from tpu3d.registration import downsample_bucketed, prepare_features
+
+    rng = np.random.default_rng(7)
+    xy = rng.uniform(-0.1, 0.1, size=(4000, 2)).astype(np.float32)
+    z = 0.01 * np.sin(40 * xy[:, :1]) * np.cos(40 * xy[:, 1:2])
+    pts = np.concatenate([xy, z], axis=1).astype(np.float32)
+
+    cfg = PipelineConfig()
+    cfg.use_camera = False
+    cfg.use_robot = False
+    cfg.visualization = "none"
+    cfg.registration.voxel_size = 0.004
+    cfg.registration.prepare_mode = "sparse"
+    cfg.registration.sparse_escalate_fitness = 2.0  # always escalate
+    cfg.registration.ransac_max_iterations = 2000
+    cfg.registration.icp_max_iterations = 20
+    cfg.parallel.mode = "on"
+    pipe = Pipeline(cfg, sleep_fn=lambda s: None)
+    assert pipe._mesh is not None
+    pipe._neighbor_mode = "fused"
+
+    down = downsample_bucketed(
+        PointCloud.from_numpy(pts), cfg.registration
+    )
+    ref_cloud, ref_features = prepare_features(
+        down, cfg.registration, "fused"
+    )
+    import time as _time
+
+    pose = pipe._register_instance_inner(
+        down, None, ref_cloud, ref_features, 0, _time.perf_counter()
+    )
+    assert pose is not None and np.all(np.isfinite(pose))
+    out = capsys.readouterr().out
+    assert "sparse sharded fitness" in out
+    # Self-registration: identity survives the escalated sharded arm.
+    T = pipe.instance_results[-1]["T_world_object"]
+    np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=0.05)
+
+
 def test_parallel_yaml_block(tmp_path):
     """YAML `parallel:` keys parse into ParallelConfig."""
     from tpu3d.config import load_config

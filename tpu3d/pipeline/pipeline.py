@@ -232,6 +232,36 @@ class Pipeline:
                     f" RMSE={float(coarse.rmse):.6f} [sharded x"
                     f"{self._mesh.devices.size}]"
                 )
+                if (
+                    source_features is None
+                    and fitness < self._sparse_escalate_threshold()
+                ):
+                    # Sparse-arm escalation, sharded flavor (same
+                    # loud-failure restart as the single-device path
+                    # below): retry with the full-prepare descriptors —
+                    # sharded when the halo check allows, exactly like
+                    # the normal prepared path.
+                    print(
+                        f"Instance {instance_id}: sparse sharded fitness"
+                        f" {fitness:.4f} below threshold — escalating"
+                        " through the full-prepare arm"
+                    )
+                    from tpu3d.parallel.register_sharded import (
+                        prepare_features_sharded,
+                    )
+
+                    src_full, src_feat, _ = prepare_features_sharded(
+                        source, cfg.registration, self._mesh,
+                        halo=cfg.parallel.halo or None,
+                    )
+                    refined2, coarse2 = register_prepared_sharded(
+                        src_full, ref_cloud, src_feat, ref_features,
+                        cfg.registration, self._mesh,
+                        corr_mode=cfg.registration.corr_mode,
+                        icp_source=source,
+                    )
+                    if float(refined2.fitness) > fitness:
+                        refined, coarse = refined2, coarse2
                 return self._finish_instance(
                     refined, coarse, instance_id, t0
                 )
