@@ -31,3 +31,22 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Work around a latent XLA-CPU JIT crash at high compile counts.
+
+    With the full suite in one process (~130+ compiled executables), the
+    CPU backend deterministically SEGFAULTs compiling a trivial jnp.pad
+    (faulthandler: backend_compile_and_load → Segmentation fault; first
+    seen 2026-08-21 after the suite grew past ~170 tests — the crash
+    lands on whichever compile crosses the threshold, not on any
+    specific test). Dropping compiled executables between modules keeps
+    the per-process live-executable count bounded. Cross-module cache
+    reuse is minimal, so the runtime cost is small.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
