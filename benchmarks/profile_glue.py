@@ -1,5 +1,16 @@
 """Prefix-delta chip profile of the sparse-prepare GLUE.
 
+STALE as of round 5 — do not trust its numbers. This harness replicates
+the r3-era _pallas_prepare chain by hand; the shipping chain has since
+moved (strata-centered 4-run subset, block=256 sparse default, build
+rework), and the replica now measures a DIFFERENT program: r5 chip runs
+show 110/650 ms sweep prefixes while the shipping
+``fused_prepare_sparse`` measures 3.8 ms in-context in the same session
+class. Use benchmarks/bench_stages.py (stage prefixes of the real
+full_pair) and benchmarks/mfu.py for in-context decompositions; fix this
+replica against ops/fused_features._pallas_prepare before reading it
+again.
+
 profile_prepare_sparse.py times the build/windows/sweeps in isolation and
 their sum is ~2 ms short of the fused_prepare_sparse total — the missing
 milliseconds are the inter-sweep glue (eigenvector planes, packed-operand
